@@ -1,0 +1,152 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ucnerf_tpu.ops import hashgrid
+
+PRIMES = np.array([1, 2654435761, 805459861], dtype=np.uint64)
+
+
+def _oracle_encode(x, table, spec):
+    """Brute-force numpy oracle of the CUDA grid-encode semantics
+    (gridencoder.cu:88-197): per-level trilinear gather with prime-XOR hash."""
+    x01 = (np.asarray(x, np.float64) + 1) / 2
+    n = x01.shape[0]
+    out = np.zeros((n, spec.num_levels, spec.level_dim), np.float64)
+    table = np.asarray(table, np.float64)
+    for l in range(spec.num_levels):
+        scale = np.float32(spec.cuda_scales[l])
+        res = spec.cuda_resolutions[l]
+        hs = spec.level_sizes[l]
+        use_hash = (res + 1) ** 3 > hs
+        for i in range(n):
+            if np.any(x01[i] < 0) or np.any(x01[i] > 1):
+                continue
+            pos = x01[i].astype(np.float32) * scale + np.float32(0.5)
+            pg = np.floor(pos).astype(np.uint64)
+            frac = (pos - np.floor(pos)).astype(np.float64)
+            acc = np.zeros(spec.level_dim)
+            for c in range(8):
+                w = 1.0
+                cp = pg.copy()
+                for d in range(3):
+                    if c & (1 << d):
+                        w *= frac[d]
+                        cp[d] += 1
+                    else:
+                        w *= 1 - frac[d]
+                if use_hash:
+                    idx = np.uint64(0)
+                    for d in range(3):
+                        idx ^= np.uint64((cp[d] * PRIMES[d]) % (1 << 32))
+                else:
+                    idx = cp[0] + cp[1] * (res + 1) + cp[2] * (res + 1) ** 2
+                idx = int(idx % np.uint64(hs)) + spec.offsets[l]
+                acc += w * table[idx]
+            out[i, l] = acc
+    return out
+
+
+def small_spec():
+    return hashgrid.HashGridSpec(num_levels=4, level_dim=4, base_resolution=4,
+                                 desired_resolution=64, log2_hashmap_size=8)
+
+
+def test_spec_layout_canonical_nerf():
+    """Table layout of the canonical NeRF grid (16 -> 8192, 10 levels, 2^21)
+    must match the reference allocator (grid.py:122-144)."""
+    spec = hashgrid.HashGridSpec(num_levels=10, level_dim=4,
+                                 base_resolution=16, desired_resolution=8192,
+                                 log2_hashmap_size=21)
+    assert spec.per_level_scale == pytest.approx(2.0)
+    assert spec.resolutions == (17, 33, 65, 129, 257, 513, 1025, 2049, 4097,
+                                8193)
+    assert spec.level_sizes[0] == int(np.ceil(17**3 / 8) * 8)
+    assert spec.level_sizes[1] == int(np.ceil(33**3 / 8) * 8)
+    assert spec.level_sizes[2] == int(np.ceil(65**3 / 8) * 8)
+    assert all(s == 2**21 for s in spec.level_sizes[3:])
+    assert spec.offsets[0] == 0
+    assert spec.table_rows == sum(spec.level_sizes)
+
+
+def test_spec_layout_prop_grid():
+    spec = hashgrid.HashGridSpec(num_levels=6, level_dim=4,
+                                 base_resolution=16, desired_resolution=512,
+                                 log2_hashmap_size=21)
+    assert spec.resolutions == (17, 33, 65, 129, 257, 513)
+    assert not spec.uses_hash(0)
+    assert spec.uses_hash(5)
+
+
+def test_encode_matches_oracle(rng):
+    spec = small_spec()
+    key = jax.random.PRNGKey(0)
+    table = hashgrid.init_table(key, spec)
+    x = rng.uniform(-1, 1, (64, 3)).astype(np.float32)
+    out = np.asarray(hashgrid.encode(jnp.asarray(x), table, spec))
+    ref = _oracle_encode(x, np.asarray(table), spec)
+    np.testing.assert_allclose(out, ref, atol=1e-6, rtol=1e-4)
+
+
+def test_encode_out_of_bounds_zero():
+    spec = small_spec()
+    table = hashgrid.init_table(jax.random.PRNGKey(1), spec)
+    x = jnp.array([[1.5, 0.0, 0.0], [0.0, -2.0, 0.5]])
+    out = np.asarray(hashgrid.encode(x, table, spec))
+    np.testing.assert_allclose(out, 0.0)
+
+
+def test_encode_grad_table_matches_oracle(rng):
+    """d(sum(encode))/d(table) is the scatter-add of trilinear weights."""
+    spec = small_spec()
+    table = hashgrid.init_table(jax.random.PRNGKey(2), spec)
+    x = jnp.asarray(rng.uniform(-1, 1, (16, 3)).astype(np.float32))
+
+    g = jax.grad(lambda tb: hashgrid.encode(x, tb, spec).sum())(table)
+
+    # Oracle scatter: numeric accumulation of the same weights.
+    eps = 1e-3
+    probe = np.zeros(spec.table_rows, bool)
+    gnp = np.asarray(g)
+    nonzero_rows = np.nonzero(np.abs(gnp).sum(-1) > 0)[0]
+    assert len(nonzero_rows) > 0
+    # Spot-check a few rows with finite differences.
+    tb = np.asarray(table)
+    for row in nonzero_rows[:5]:
+        tb_p = tb.copy()
+        tb_p[row, 0] += eps
+        f_p = float(_oracle_encode(np.asarray(x), tb_p, spec).sum())
+        tb_m = tb.copy()
+        tb_m[row, 0] -= eps
+        f_m = float(_oracle_encode(np.asarray(x), tb_m, spec).sum())
+        fd = (f_p - f_m) / (2 * eps)
+        np.testing.assert_allclose(gnp[row, 0], fd, rtol=1e-3, atol=1e-4)
+
+
+def test_encode_grad_inputs_nonzero(rng):
+    spec = small_spec()
+    table = hashgrid.init_table(jax.random.PRNGKey(3), spec)
+    x = jnp.asarray(rng.uniform(-0.9, 0.9, (8, 3)).astype(np.float32))
+    g = jax.grad(lambda xx: hashgrid.encode(xx, table, spec).sum())(x)
+    assert np.any(np.abs(np.asarray(g)) > 0)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_hash_decay_means(rng):
+    spec = small_spec()
+    table = hashgrid.init_table(jax.random.PRNGKey(4), spec)
+    means = np.asarray(hashgrid.hash_decay_means(table, spec))
+    tb = np.asarray(table)
+    for l in range(spec.num_levels):
+        lo, hi = spec.offsets[l], spec.offsets[l + 1]
+        np.testing.assert_allclose(means[l], (tb[lo:hi] ** 2).mean(),
+                                   rtol=1e-5)
+
+
+def test_encode_jit_and_batch_shapes():
+    spec = small_spec()
+    table = hashgrid.init_table(jax.random.PRNGKey(5), spec)
+    x = jnp.zeros((2, 3, 6, 3))
+    out = jax.jit(lambda xx: hashgrid.encode(xx, table, spec))(x)
+    assert out.shape == (2, 3, 6, spec.num_levels, spec.level_dim)

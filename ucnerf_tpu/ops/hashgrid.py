@@ -1,0 +1,238 @@
+"""Multiresolution hash-grid encoder (instant-NGP style) for TPU.
+
+TPU-native re-design of the reference CUDA grid encoder
+(``/root/reference/nerf/gridencoder/src/gridencoder.cu`` and
+``gridencoder/grid.py``):
+
+- Table layout, level offsets, per-level resolutions, and the prime-XOR hash
+  are replicated bit-exactly (grid.py:122-144, gridencoder.cu:51-84) so parity
+  with the reference is directly checkable.
+- The forward pass is a per-level 8-corner gather + trilinear blend; on TPU
+  this is expressed as XLA ``gather`` over the HBM-resident table, with the
+  corner loop statically unrolled so the accumulator stays at [N, C].
+- The backward pass comes from JAX autodiff: the gather transposes to a
+  scatter-add, replacing the CUDA ``atomicAdd`` (gridencoder.cu:323-338) with
+  a deterministic XLA scatter — a determinism upgrade over the reference,
+  whose atomics sum in nondeterministic order.
+
+All level geometry is static (baked into the spec at trace time), so there is
+no data-dependent control flow anywhere.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Prime constants of the spatial hash (gridencoder.cu:54).
+_PRIMES = (1, 2654435761, 805459861)
+
+
+@dataclasses.dataclass(frozen=True)
+class HashGridSpec:
+    """Static geometry of a multiresolution hash grid.
+
+    Mirrors GridEncoder's constructor arguments (grid.py:97-149) with
+    align_corners=False, gridtype='hash', linear interpolation.
+    """
+    input_dim: int = 3
+    num_levels: int = 10
+    level_dim: int = 4
+    base_resolution: int = 16
+    desired_resolution: int = 8192
+    log2_hashmap_size: int = 21
+    init_std: float = 1e-4
+
+    @functools.cached_property
+    def per_level_scale(self) -> float:
+        if self.num_levels == 1:
+            return 1.0
+        return float(np.exp2(
+            np.log2(self.desired_resolution / self.base_resolution)
+            / (self.num_levels - 1)))
+
+    @functools.cached_property
+    def resolutions(self) -> Tuple[int, ...]:
+        """Per-level table resolutions (grid.py:128-129, align_corners=False):
+        ceil(base * scale^l) + 1.  Exposed as `grid_sizes` for the erf
+        multisample weighting (models.py:495)."""
+        return tuple(
+            int(np.ceil(self.base_resolution * self.per_level_scale**i)) + 1
+            for i in range(self.num_levels))
+
+    @functools.cached_property
+    def level_sizes(self) -> Tuple[int, ...]:
+        """Rows allocated per level: min(2^log2_hashmap_size, res^D), rounded
+        up to a multiple of 8 (grid.py:130-131)."""
+        max_params = 2**self.log2_hashmap_size
+        sizes = []
+        for res in self.resolutions:
+            n = min(max_params, res**self.input_dim)
+            sizes.append(int(np.ceil(n / 8) * 8))
+        return tuple(sizes)
+
+    @functools.cached_property
+    def offsets(self) -> Tuple[int, ...]:
+        """Row offset of each level in the packed table (len = L + 1)."""
+        offs = [0]
+        for s in self.level_sizes:
+            offs.append(offs[-1] + s)
+        return tuple(offs)
+
+    @property
+    def table_rows(self) -> int:
+        return self.offsets[-1]
+
+    @property
+    def output_dim(self) -> int:
+        return self.num_levels * self.level_dim
+
+    @functools.cached_property
+    def cuda_scales(self) -> Tuple[float, ...]:
+        """Per-level continuous scales as computed by the CUDA kernel:
+        exp2(l * log2(per_level_scale)) * H - 1 (gridencoder.cu:138)."""
+        s = np.log2(self.per_level_scale)
+        return tuple(
+            float(np.exp2(i * s) * self.base_resolution - 1.0)
+            for i in range(self.num_levels))
+
+    @functools.cached_property
+    def cuda_resolutions(self) -> Tuple[int, ...]:
+        """Index-stride resolutions as computed by the CUDA kernel:
+        ceil(scale) + 1 (gridencoder.cu:139)."""
+        return tuple(int(np.ceil(s)) + 1 for s in self.cuda_scales)
+
+    def uses_hash(self, level: int) -> bool:
+        """True when the level's dense stride exceeds its table, so corner
+        coordinates are hashed (gridencoder.cu:72-81)."""
+        stride = (self.cuda_resolutions[level] + 1) ** self.input_dim
+        return stride > self.level_sizes[level]
+
+
+def init_table(key: jax.Array, spec: HashGridSpec,
+               dtype=jnp.float32) -> jax.Array:
+    """Initialize the packed embedding table, U(-init_std, init_std)."""
+    return jax.random.uniform(
+        key, (spec.table_rows, spec.level_dim), dtype=dtype,
+        minval=-spec.init_std, maxval=spec.init_std)
+
+
+def _corner_index(spec: HashGridSpec, level: int, pos_grid):
+    """Row index (within the level) of an integer corner coordinate.
+
+    pos_grid: [..., D] uint32.  Static decision between the dense linear
+    index and the prime-XOR hash, then modulo the level size — power-of-two
+    sizes use a bitwise AND.
+    """
+    hashmap_size = spec.level_sizes[level]
+    if spec.uses_hash(level):
+        index = pos_grid[..., 0] * np.uint32(_PRIMES[0])
+        for d in range(1, spec.input_dim):
+            index = index ^ (pos_grid[..., d] * np.uint32(_PRIMES[d]))
+    else:
+        stride_base = np.uint32(spec.cuda_resolutions[level] + 1)
+        index = pos_grid[..., 0]
+        stride = np.uint32(1)
+        for d in range(1, spec.input_dim):
+            stride = np.uint32(stride * stride_base)
+            index = index + pos_grid[..., d] * stride
+        # Dense indices provably fit in the allocated level table: the max
+        # corner coordinate is cuda_resolution, so no modulo is needed when
+        # the worst-case index is in range.
+        r = spec.cuda_resolutions[level]
+        max_index = sum(r * (spec.cuda_resolutions[level] + 1) ** d
+                        for d in range(spec.input_dim))
+        if max_index < hashmap_size:
+            return index
+    if hashmap_size & (hashmap_size - 1) == 0:
+        return index & np.uint32(hashmap_size - 1)
+    return index % np.uint32(hashmap_size)
+
+
+def encode_level(x01, table, spec: HashGridSpec, level: int):
+    """Encode unit-cube points into one level's features.
+
+    Args:
+      x01: [N, D] float32 coordinates; values outside [0, 1] produce zeros
+        (gridencoder.cu:111-135).
+      table: [rows, C] packed embedding table.
+      level: static level index.
+
+    Returns:
+      [N, C] features.
+    """
+    scale = np.float32(spec.cuda_scales[level])
+    oob = jnp.any((x01 < 0) | (x01 > 1), axis=-1)
+    xs = jnp.clip(x01, 0.0, 1.0)
+    pos = xs * scale + np.float32(0.5)
+    pos_floor = jnp.floor(pos)
+    frac = pos - jax.lax.stop_gradient(pos_floor)
+    pos_grid = pos_floor.astype(jnp.uint32)  # [N, D]
+
+    level_offset = np.uint32(spec.offsets[level])
+    acc = jnp.zeros((x01.shape[0], spec.level_dim), dtype=table.dtype)
+    for corner in range(2**spec.input_dim):
+        w = jnp.ones(x01.shape[:-1], dtype=x01.dtype)
+        corner_pos = []
+        for d in range(spec.input_dim):
+            if corner & (1 << d):
+                w = w * frac[..., d]
+                corner_pos.append(pos_grid[..., d] + np.uint32(1))
+            else:
+                w = w * (1 - frac[..., d])
+                corner_pos.append(pos_grid[..., d])
+        corner_pos = jnp.stack(corner_pos, axis=-1)
+        idx = _corner_index(spec, level, corner_pos) + level_offset
+        rows = jnp.take(table, idx.astype(jnp.int32), axis=0)
+        acc = acc + w[..., None] * rows
+    return jnp.where(oob[..., None], 0.0, acc)
+
+
+def encode(x, table, spec: HashGridSpec, bound: float = 1.0):
+    """Hash-encode points in [-bound, bound]^D.
+
+    Args:
+      x: [..., D] coordinates.
+      table: [rows, C] packed table.
+      bound: half-extent of the input domain (grid.py:158-162).
+
+    Returns:
+      [..., L, C] per-level features (callers flatten to L*C as needed; the
+      reference returns [..., L*C] and immediately unflattens,
+      models.py:494).
+    """
+    x01 = (x + bound) / (2 * bound)
+    batch_shape = x01.shape[:-1]
+    flat = x01.reshape(-1, spec.input_dim)
+    outs = [encode_level(flat, table, spec, l) for l in range(spec.num_levels)]
+    out = jnp.stack(outs, axis=-2)  # [N, L, C]
+    return out.reshape(batch_shape + (spec.num_levels, spec.level_dim))
+
+
+def hash_decay_means(table, spec: HashGridSpec):
+    """Per-level mean of squared embeddings: [L].
+
+    Replaces the reference's segment_coo scatter-mean (models.py:299-306)
+    with static per-level slices — level extents are compile-time constants,
+    so this is a handful of dense reductions instead of a scatter.
+    """
+    means = []
+    for l in range(spec.num_levels):
+        lo, hi = spec.offsets[l], spec.offsets[l + 1]
+        means.append(jnp.mean(table[lo:hi] ** 2))
+    return jnp.stack(means)
+
+
+def level_sq_means(table, spec: HashGridSpec):
+    """Per-level mean over rows of sum_c emb^2: [L].  Used by the
+    scale-featurization path (models.py:497-506)."""
+    means = []
+    for l in range(spec.num_levels):
+        lo, hi = spec.offsets[l], spec.offsets[l + 1]
+        means.append(jnp.mean(jnp.sum(table[lo:hi] ** 2, axis=-1)))
+    return jnp.stack(means)
