@@ -1,0 +1,65 @@
+"""Benchmark: training throughput (rays/s) of the canonical Waymo config.
+
+Runs the full jitted UC-NeRF train step (forward + all losses + backward +
+Adam) on the canonical Waymo-100613 architecture — batch 15000 rays, 2 levels
+(128 prop + 32 nerf samples), hash grids 512/8192, sky model + brightness
+correction — on the available accelerator, and prints ONE JSON line.
+
+The reference repo publishes no numbers (BASELINE.md), so ``vs_baseline`` is
+reported as the ratio to the north-star bookkeeping value of 1.0 until a
+measured PyTorch/GPU baseline lands in BASELINE.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch-size", type=int, default=15000)
+    parser.add_argument("--steps", type=int, default=20)
+    parser.add_argument("--warmup", type=int, default=3)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from ucnerf_tpu import configs
+    from ucnerf_tpu.train import state as state_lib
+    from ucnerf_tpu.train import step as step_lib
+
+    cfg = configs.waymo(batch_size=args.batch_size)
+    model, params = step_lib.init_model(cfg, jax.random.PRNGKey(0))
+    state = state_lib.create_train_state(cfg, params)
+    train_step = step_lib.make_train_step(model, cfg)
+    batch = jax.tree.map(jnp.asarray, step_lib.dummy_batch(cfg, cfg.batch_size))
+
+    key = jax.random.PRNGKey(1)
+    for i in range(args.warmup):
+        state, stats = train_step(state, batch, jax.random.fold_in(key, i),
+                                  jnp.float32(0.5))
+    jax.block_until_ready(stats["loss"])
+
+    t0 = time.perf_counter()
+    for i in range(args.steps):
+        state, stats = train_step(state, batch,
+                                  jax.random.fold_in(key, 100 + i),
+                                  jnp.float32(0.5))
+    jax.block_until_ready(stats["loss"])
+    dt = time.perf_counter() - t0
+
+    steps_per_sec = args.steps / dt
+    rays_per_sec = cfg.batch_size * steps_per_sec
+    print(json.dumps({
+        "metric": "train_rays_per_sec",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / 1.0, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,122 @@
+"""Training CLI: the reference's train loop (train.py:35-395), TPU-native.
+
+One jitted sharded train step per iteration; host does only ray sampling and
+logging.  Per-``print_every`` stats (loss breakdown, rays/s), per-
+``train_render_every`` test render with PSNR, per-``checkpoint_every`` orbax
+checkpoints with keep-last-N and resume.
+
+Usage:
+  python -m ucnerf_tpu.cli.train --preset waymo \
+      -b "Config.data_dir = '/path/to/segment'" \
+      -b "Config.exp_name = 'checkpoints/run1'"
+  python -m ucnerf_tpu.cli.train --tiny        # synthetic smoke run
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    from ucnerf_tpu.cli import common
+
+    parser = common.make_parser(__doc__)
+    parser.add_argument("--max-steps", type=int, default=None)
+    args = parser.parse_args(argv)
+    config = common.load_config_from_args(args)
+    if args.max_steps is not None:
+        import dataclasses
+        config = dataclasses.replace(config, max_steps=args.max_steps)
+
+    exp, logger = common.setup_experiment(config, "train")
+
+    import jax
+    import jax.numpy as jnp
+
+    from ucnerf_tpu.data import datasets
+    from ucnerf_tpu.parallel import mesh as meshlib
+    from ucnerf_tpu.train import checkpoints as ckpt_lib
+    from ucnerf_tpu.train import state as state_lib
+    from ucnerf_tpu.train import step as step_lib
+    from ucnerf_tpu.utils import image as image_lib
+
+    logger.info("devices: %s", jax.devices())
+    mesh = meshlib.create_mesh()
+
+    dataset = datasets.load_dataset("train", config)
+    test_dataset = datasets.load_dataset("test", config)
+    logger.info("train views: %d, test views: %d, %dx%d",
+                dataset.n_examples, test_dataset.n_examples,
+                dataset.width, dataset.height)
+
+    example = dataset.sample_batch(np.random.default_rng(0), 16)
+    model, params = step_lib.init_model(config, jax.random.PRNGKey(0),
+                                        example)
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    logger.info("parameters: %.2fM", n_params / 1e6)
+
+    state = state_lib.create_train_state(config, params)
+    init_step = 0
+    if config.resume_from_checkpoint:
+        state, init_step = ckpt_lib.restore_checkpoint(exp, state)
+        if init_step:
+            logger.info("resumed from step %d", init_step)
+
+    train_step = step_lib.make_train_step(model, config, mesh=mesh)
+    eval_step = step_lib.make_eval_step(model, config, mesh=mesh)
+    metric_harness = image_lib.MetricHarness()
+
+    rng = np.random.default_rng(1234 + init_step)
+    key = jax.random.PRNGKey(5678)
+    t_start = time.time()
+    t_window = time.time()
+    for step in range(init_step + 1, config.max_steps + 1):
+        batch = dataset.sample_batch(rng, config.batch_size)
+        batch = meshlib.shard_batch(batch, mesh)
+        train_frac = np.clip((step - 1) / (config.max_steps - 1), 0, 1)
+        state, stats = train_step(state, batch, jax.random.fold_in(key, step),
+                                  jnp.float32(train_frac))
+
+        if step % config.print_every == 0 or step == init_step + 1:
+            stats = jax.tree.map(np.asarray, stats)
+            dt = time.time() - t_window
+            t_window = time.time()
+            steps_per_sec = config.print_every / max(dt, 1e-9)
+            rays_per_sec = config.batch_size * steps_per_sec
+            psnr = float(image_lib.mse_to_psnr(stats["mses"][-1]))
+            loss_str = " ".join(
+                f"{k}={float(v):.4f}" for k, v in
+                sorted(stats["losses"].items()))
+            logger.info(
+                "step %d/%d: loss=%.4f psnr=%.2f %.0f rays/s (%s)",
+                step, config.max_steps, float(stats["loss"]), psnr,
+                rays_per_sec, loss_str)
+
+        if (config.train_render_every > 0
+                and step % config.train_render_every == 0):
+            idx = (step // config.train_render_every) % \
+                test_dataset.n_examples
+            img_batch = test_dataset.image_batch(idx)
+            t0 = time.time()
+            rendering = step_lib.render_image(
+                eval_step, state.params, img_batch, config,
+                train_frac=train_frac, eval_camidx=0, mesh=mesh)
+            metrics = metric_harness(rendering["rgb"], img_batch["rgb"])
+            logger.info("test render %d: psnr=%.2f ssim=%.3f (%.1fs)",
+                        idx, metrics["psnr"], metrics["ssim"],
+                        time.time() - t0)
+
+        if step % config.checkpoint_every == 0:
+            ckpt_lib.save_checkpoint(exp, jax.device_get(state), step,
+                                     config.checkpoints_total_limit)
+            logger.info("checkpoint saved at step %d", step)
+
+    ckpt_lib.save_checkpoint(exp, jax.device_get(state), config.max_steps,
+                             config.checkpoints_total_limit)
+    logger.info("done in %.1fs", time.time() - t_start)
+
+
+if __name__ == "__main__":
+    main()

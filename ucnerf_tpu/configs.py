@@ -1,0 +1,273 @@
+"""Configuration for the UC-NeRF TPU framework.
+
+Typed dataclasses replacing the reference's gin + absl flags stack
+(``/root/reference/nerf/internal/configs.py:22-189``).  A small
+``Config.field = value`` binding parser keeps the reference's CLI ergonomics
+(``--gin_bindings="Config.near = 0."``) without the gin dependency.
+
+Defaults follow the reference's ``Config`` dataclass; the ``waymo()`` factory
+applies ``configs/waymo.gin`` + ``scripts/train_waymo.sh`` bindings (near 0,
+far 8, batch 15000, 2 levels, 128 prop + 32 nerf samples, brightness
+correction + sky model on).
+"""
+
+from __future__ import annotations
+
+import ast
+import dataclasses
+from typing import Any, Optional, Sequence, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class MLPConfig:
+    """One field MLP (hash encoder + density/color nets).
+
+    Mirrors the gin-configurable attributes of the reference ``MLP``
+    (models.py:367-403).
+    """
+    # Hash grid (models.py:396-401).
+    grid_num_levels: int = 10  # Derived: log(desired/base)/log(interval) + 1.
+    grid_level_interval: int = 2
+    grid_level_dim: int = 4
+    grid_base_resolution: int = 16
+    grid_desired_resolution: int = 8192
+    grid_log2_hashmap_size: int = 21
+    grid_init_std: float = 1e-4
+    # Nets.
+    bottleneck_width: int = 256
+    net_depth_viewdirs: int = 2
+    net_width_viewdirs: int = 256
+    skip_layer_dir: int = 0
+    num_rgb_channels: int = 3
+    deg_view: int = 4
+    bottleneck_noise: float = 0.0
+    density_bias: float = -1.0
+    density_noise: float = 0.0
+    rgb_premultiplier: float = 1.0
+    rgb_bias: float = 0.0
+    rgb_padding: float = 0.001
+    disable_density_normals: bool = True
+    enable_pred_normals: bool = False
+    disable_rgb: bool = False
+    warp_fn: Optional[str] = "contract"
+    scale_featurization: bool = False
+    num_glo_features: int = 0
+    num_glo_embeddings: int = 1000
+    net_width_glo: int = 128
+    net_depth_glo: int = 2
+
+    def with_grid(self, desired_resolution: int) -> "MLPConfig":
+        """Derive the per-proposal-level grid config (models.py:425-426)."""
+        import numpy as np
+        n = int(np.log(desired_resolution / self.grid_base_resolution)
+                / np.log(self.grid_level_interval)) + 1
+        return dataclasses.replace(
+            self, grid_desired_resolution=desired_resolution,
+            grid_num_levels=n)
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """The proposal-hierarchy model (reference ``Model``, models.py:31-55)."""
+    num_prop_samples: int = 64
+    num_nerf_samples: int = 32
+    num_levels: int = 3  # N-1 proposal levels + 1 nerf level.
+    bg_intensity_range: Tuple[float, float] = (1.0, 1.0)
+    anneal_slope: float = 10.0
+    stop_level_grad: bool = True
+    use_viewdirs: bool = True
+    raydist_fn: Optional[str] = None
+    single_jitter: bool = True
+    dilation_multiplier: float = 0.5
+    dilation_bias: float = 0.0025
+    near_anneal_rate: Optional[float] = None
+    near_anneal_init: float = 0.95
+    resample_padding: float = 0.0
+    opaque_background: bool = False
+    power_lambda: float = -1.5
+    std_scale: float = 0.5
+    prop_desired_grid_size: Tuple[int, ...] = (512, 2048)
+    # Sky model (models.py:84-92): vanilla NeRF D=8 W=256, view posenc deg 4.
+    sky_net_depth: int = 8
+    sky_net_width: int = 256
+    sky_deg_view: int = 4
+    sky_num_samples: int = 120
+    sky_far_mult: float = 1.5
+    # Brightness correction (extrinsic_optimizer.py:4-48).
+    brightness_latent_dim: int = 4
+    brightness_net_depth: int = 3
+    brightness_net_width: int = 256
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    """Top-level config (reference configs.py:22-174, trimmed to live fields)."""
+    # Data.
+    dataset_loader: str = "synthetic"
+    data_dir: Optional[str] = None
+    depth_dir: Optional[str] = None
+    refine_name: Optional[str] = None  # pose.json override path.
+    exp_name: str = "test"
+    batch_size: int = 2**16
+    patch_size: int = 1
+    factor: int = 4
+    render_chunk_size: int = 65536
+    near: float = 2.0
+    far: float = 6.0
+    cam_type: int = 6  # 6 -> 3 front cameras on Waymo.
+    llffhold: int = 8  # Every Nth frame group is test.
+    training_views: int = 210
+    load_sky_segments: bool = True
+    virtual_poses: bool = False
+    randomized: bool = True
+    # Model toggles.
+    model_sky: bool = False
+    brightness_correction: bool = False
+    gradient_scaling: bool = False
+    zero_glo: bool = False
+    # Train.
+    max_steps: int = 25000
+    checkpoint_every: int = 5000
+    resume_from_checkpoint: bool = True
+    checkpoints_total_limit: int = 1
+    print_every: int = 100
+    train_render_every: int = 500
+    # Losses.
+    data_loss_type: str = "charb"
+    charb_padding: float = 0.001
+    data_loss_mult: float = 1.0
+    data_coarse_loss_mult: float = 0.0
+    interlevel_loss_mult: float = 0.0
+    anti_interlevel_loss_mult: float = 0.01
+    pulse_width: Tuple[float, ...] = (0.03, 0.003)
+    distortion_loss_mult: float = 0.005
+    opacity_loss_mult: float = 0.0
+    orientation_loss_mult: float = 0.0
+    orientation_coarse_loss_mult: float = 0.0
+    orientation_loss_target: str = "normals_pred"
+    predicted_normal_loss_mult: float = 0.0
+    predicted_normal_coarse_loss_mult: float = 0.0
+    hash_decay_mults: float = 0.1
+    sky_weight: float = 0.002
+    idt_weight: float = 0.002
+    # Optimizer (configs.py:95-103).
+    lr_init: float = 0.01
+    lr_final: float = 0.001
+    lr_delay_steps: int = 5000
+    lr_delay_mult: float = 1e-8
+    adam_beta1: float = 0.9
+    adam_beta2: float = 0.99
+    adam_eps: float = 1e-15
+    grad_max_norm: float = 0.0
+    grad_max_val: float = 0.0
+    # Eval.
+    eval_only_once: bool = True
+    eval_save_output: bool = True
+    eval_quantize_metrics: bool = True
+    eval_crop_borders: int = 0
+    vis_num_rays: int = 16
+    # Render.
+    render_path_frames: int = 120
+    render_video_fps: int = 60
+    # Nested model/MLP configs.
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    nerf_mlp: MLPConfig = dataclasses.field(default_factory=MLPConfig)
+    prop_mlp: MLPConfig = dataclasses.field(
+        default_factory=lambda: MLPConfig(disable_rgb=True,
+                                          disable_density_normals=True))
+    # Parallelism.
+    mesh_shape: Optional[Tuple[int, ...]] = None  # None -> all devices, 1D.
+    donate_train_state: bool = True
+
+
+def waymo(**overrides) -> Config:
+    """The canonical Waymo config (configs/waymo.gin + train_waymo.sh)."""
+    base = Config(
+        dataset_loader="waymov2",
+        near=0.0,
+        far=8.0,
+        factor=4,
+        adam_eps=1e-8,
+        batch_size=15000,
+        render_chunk_size=15000,
+        max_steps=30000,
+        cam_type=6,
+        brightness_correction=True,
+        model_sky=True,
+        virtual_poses=False,
+        model=ModelConfig(num_levels=2, num_prop_samples=128,
+                          num_nerf_samples=32),
+        nerf_mlp=MLPConfig(disable_density_normals=True),
+        prop_mlp=MLPConfig(disable_rgb=True, disable_density_normals=True),
+    )
+    return dataclasses.replace(base, **overrides)
+
+
+def tiny(**overrides) -> Config:
+    """CPU-runnable smoke config: tiny grids, few samples, small batches."""
+    base = Config(
+        dataset_loader="synthetic",
+        near=0.0,
+        far=8.0,
+        batch_size=256,
+        render_chunk_size=512,
+        max_steps=50,
+        adam_eps=1e-8,
+        lr_delay_steps=5,
+        training_views=6,
+        brightness_correction=True,
+        model_sky=True,
+        model=ModelConfig(num_levels=2, num_prop_samples=16,
+                          num_nerf_samples=8,
+                          prop_desired_grid_size=(64,),
+                          sky_num_samples=16, sky_net_depth=2,
+                          sky_net_width=32, brightness_net_width=32),
+        nerf_mlp=MLPConfig(grid_desired_resolution=128, grid_num_levels=4,
+                           grid_log2_hashmap_size=12, bottleneck_width=32,
+                           net_width_viewdirs=32,
+                           disable_density_normals=True),
+        prop_mlp=MLPConfig(grid_desired_resolution=64, grid_num_levels=3,
+                           grid_log2_hashmap_size=10, disable_rgb=True,
+                           disable_density_normals=True),
+    )
+    return dataclasses.replace(base, **overrides)
+
+
+_PRESETS = {"waymo": waymo, "tiny": tiny, "default": Config}
+
+
+def parse_bindings(config: Config, bindings: Sequence[str]) -> Config:
+    """Apply 'Config.field = value' / 'Model.field = value' style overrides.
+
+    Mirrors the reference's --gin_bindings CLI (train_waymo.sh:4-14).  Scopes:
+    Config, Model, NerfMLP, PropMLP.
+    """
+    cfg = config
+    for b in bindings:
+        lhs, rhs = b.split("=", 1)
+        scope, _, field = lhs.strip().partition(".")
+        value = ast.literal_eval(rhs.strip())
+        if scope == "Config":
+            cfg = dataclasses.replace(cfg, **{field: value})
+        elif scope == "Model":
+            cfg = dataclasses.replace(
+                cfg, model=dataclasses.replace(cfg.model, **{field: value}))
+        elif scope == "NerfMLP":
+            cfg = dataclasses.replace(
+                cfg,
+                nerf_mlp=dataclasses.replace(cfg.nerf_mlp, **{field: value}))
+        elif scope == "PropMLP":
+            cfg = dataclasses.replace(
+                cfg,
+                prop_mlp=dataclasses.replace(cfg.prop_mlp, **{field: value}))
+        else:
+            raise ValueError(f"Unknown binding scope: {scope!r} in {b!r}")
+    return cfg
+
+
+def load_config(preset: str = "default",
+                bindings: Sequence[str] = ()) -> Config:
+    """Build a config from a preset name plus bindings."""
+    factory = _PRESETS[preset]
+    cfg = factory() if callable(factory) else factory
+    return parse_bindings(cfg, bindings)

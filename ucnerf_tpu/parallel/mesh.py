@@ -1,0 +1,76 @@
+"""Device mesh + sharding policy for UC-NeRF training and rendering.
+
+TPU-native replacement for the reference's accelerate/DDP layer (SURVEY.md
+§2.4): rays are data-parallel over a 1-D (or host x chip 2-D) mesh, model
+parameters are replicated, and the gradient all-reduce is the psum XLA
+inserts for the pjit backward pass — overlapped with compute by the XLA
+latency-hiding scheduler instead of DDP bucketing (reference: train.py:44,95,
+models.py:937-979).
+
+The same sharded program serves eval: chunks of rays are laid out along the
+'data' axis, replacing the reference's pad/slice/accelerator.gather dance
+(models.py:943-979).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def create_mesh(devices: Optional[Sequence[jax.Device]] = None,
+                shape: Optional[Sequence[int]] = None) -> Mesh:
+    """1-D data-parallel mesh over all (or the given) devices.
+
+    `shape` reshapes devices into (host, chip)-style axes later; for now the
+    only training parallelism in scope is DP over rays, matching the
+    reference's capability while leaving the axis name stable for multi-host.
+    """
+    if devices is None:
+        devices = jax.devices()
+    devs = np.asarray(devices)
+    if shape is not None:
+        devs = devs.reshape(shape)
+        axis_names = tuple(f"axis{i}" for i in range(devs.ndim - 1)) + (
+            DATA_AXIS,)
+        return Mesh(devs, axis_names)
+    return Mesh(devs, (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (ray) axis across the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    """Fully replicate (parameters, scalars)."""
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Device-put a host ray batch with the leading axis sharded."""
+    sharding = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def pad_rays_to_multiple(batch, multiple: int):
+    """Pad a flat ray batch so its leading axis divides the mesh size.
+
+    Returns (padded_batch, num_padding).  Mirrors the reference's chunk
+    padding (models.py:946-951) but with zero-copy numpy edge padding.
+    """
+    n = next(iter(batch.values())).shape[0]
+    rem = n % multiple
+    if rem == 0:
+        return batch, 0
+    pad = multiple - rem
+    padded = {
+        k: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)], axis=0)
+        for k, v in batch.items()
+    }
+    return padded, pad

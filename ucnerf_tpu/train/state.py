@@ -1,0 +1,72 @@
+"""Train state: optimizer, LR schedule, gradient hygiene.
+
+Replaces the reference's torch Adam + per-step LR mutation
+(``train_utils.py:347-366``, ``train.py:155-157``) with an optax chain whose
+schedule is traced into the jitted step.  Gradient NaN scrubbing
+(train_utils.py:343-344) and optional norm/value clipping
+(train_utils.py:335-341) are part of the gradient transform chain, so the
+whole update is one fused XLA program.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+from ucnerf_tpu.configs import Config
+from ucnerf_tpu.ops import mathx
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+
+
+def lr_schedule(config: Config) -> Callable[[jax.Array], jax.Array]:
+    """Log-lerp decay with reverse-cosine warmup (math.py:53-85)."""
+    def schedule(step):
+        return mathx.learning_rate_decay(
+            step, config.lr_init, config.lr_final, config.max_steps,
+            config.lr_delay_steps, config.lr_delay_mult)
+    return schedule
+
+
+def _nan_to_num() -> optax.GradientTransformation:
+    """Scrub NaN/Inf from gradients (train_utils.py:343-344)."""
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+        updates = jax.tree.map(
+            lambda g: jnp.nan_to_num(g, nan=0.0, posinf=0.0, neginf=0.0),
+            updates)
+        return updates, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def create_optimizer(config: Config):
+    """Adam with the reference's betas/eps and scheduled LR."""
+    chain = [_nan_to_num()]
+    if config.grad_max_val > 0:
+        chain.append(optax.clip(config.grad_max_val))
+    if config.grad_max_norm > 0:
+        chain.append(optax.clip_by_global_norm(config.grad_max_norm))
+    chain.append(optax.scale_by_adam(
+        b1=config.adam_beta1, b2=config.adam_beta2, eps=config.adam_eps))
+    chain.append(optax.scale_by_schedule(lr_schedule(config)))
+    chain.append(optax.scale(-1.0))
+    return optax.chain(*chain)
+
+
+def create_train_state(config: Config, params) -> TrainState:
+    tx = create_optimizer(config)
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      opt_state=tx.init(params))

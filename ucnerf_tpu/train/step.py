@@ -1,0 +1,162 @@
+"""Jitted train/eval steps and the distributed image renderer.
+
+The reference's train loop body (``train.py:142-230``) — forward, ten loss
+terms, backward, clip, Adam — compiles here into ONE XLA program, sharded over
+the ray axis of a device mesh.  Gradients are all-reduced by the psum pjit
+inserts for replicated params; there is no explicit collective code
+(SURVEY.md §2.4 TPU-native mapping).
+
+``render_image`` replaces the reference's chunked multi-process renderer
+(models.py:907-1007): rays are chunked on host, each chunk is rendered by the
+same sharded jit program, and results concatenate on host.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ucnerf_tpu.configs import Config
+from ucnerf_tpu.models.model import UCNeRFModel
+from ucnerf_tpu.parallel import mesh as meshlib
+from ucnerf_tpu.train import losses as losses_lib
+from ucnerf_tpu.train import state as state_lib
+
+
+def init_model(config: Config, key, example_batch=None):
+    """Construct the model and initialize parameters.
+
+    The init is jitted: unjitted flax init dispatches thousands of tiny eager
+    ops, which is pathologically slow through a remote TPU tunnel.
+    """
+    model = UCNeRFModel(config)
+    if example_batch is None:
+        example_batch = dummy_batch(config, 4)
+    example_batch = jax.tree.map(jnp.asarray, example_batch)
+    init_fn = jax.jit(
+        lambda k, b: model.init(k, None, b, 1.0, train=False))
+    params = init_fn(key, example_batch)["params"]
+    return model, params
+
+
+def dummy_batch(config: Config, n: int) -> Dict[str, jnp.ndarray]:
+    """A synthetic ray batch with the canonical layout."""
+    d = np.tile(np.array([[0.0, 0.0, 1.0]], np.float32), (n, 1))
+    return {
+        "origins": np.zeros((n, 3), np.float32),
+        "directions": d.copy(),
+        "viewdirs": d.copy(),
+        "cam_dirs": d.copy(),
+        "radii": np.full((n, 1), 1e-3, np.float32),
+        "near": np.full((n, 1), config.near, np.float32),
+        "far": np.full((n, 1), config.far, np.float32),
+        "cam_idx": np.zeros((n,), np.int32),
+        "lossmult": np.ones((n, 1), np.float32),
+        "rgb": np.full((n, 3), 0.5, np.float32),
+        "sky_segs": np.zeros((n,), np.float32),
+    }
+
+
+def make_train_step(model: UCNeRFModel, config: Config, mesh=None):
+    """Build the jitted train step: (state, batch, key, train_frac) -> ...
+
+    With a mesh, the batch is sharded along rays and the state replicated;
+    XLA inserts the gradient all-reduce.
+    """
+    tx = state_lib.create_optimizer(config)
+
+    def loss_fn(params, batch, key, train_frac):
+        renderings, ray_history = model.apply(
+            {"params": params}, key, batch, train_frac,
+            compute_extras=False, train=True)
+        total, losses, stats = losses_lib.compute_all_losses(
+            batch, renderings, ray_history, config)
+        return total, (losses, stats)
+
+    def train_step(state, batch, key, train_frac):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (total, (losses, stats)), grads = grad_fn(
+            state.params, batch, key, train_frac)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        new_state = state_lib.TrainState(
+            step=state.step + 1, params=params, opt_state=opt_state)
+        stats = dict(stats, loss=total, losses=losses)
+        return new_state, stats
+
+    if mesh is None:
+        return jax.jit(train_step,
+                       donate_argnums=(0,) if config.donate_train_state else ())
+    repl = meshlib.replicated_sharding(mesh)
+    data = meshlib.batch_sharding(mesh)
+    return jax.jit(
+        train_step,
+        in_shardings=(repl, data, repl, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if config.donate_train_state else ())
+
+
+def make_eval_step(model: UCNeRFModel, config: Config, mesh=None,
+                   compute_extras=True):
+    """Build the jitted eval render step over one ray chunk."""
+    def eval_step(params, batch, train_frac, eval_camidx):
+        renderings, ray_history = model.apply(
+            {"params": params}, None, batch, train_frac,
+            compute_extras=compute_extras, train=False,
+            eval_camidx=eval_camidx)
+        out = dict(renderings[-1])
+        out.pop("weights", None)
+        out.pop("sky_rgbs", None)
+        out.pop("affine_trans", None)
+        out.pop("affine_trans_sky", None)
+        return out
+
+    static = functools.partial(jax.jit, static_argnums=(3,))
+    if mesh is None:
+        return static(eval_step)
+    repl = meshlib.replicated_sharding(mesh)
+    data = meshlib.batch_sharding(mesh)
+    return jax.jit(eval_step, in_shardings=(repl, data, repl),
+                   out_shardings=repl, static_argnums=(3,))
+
+
+def render_image(eval_step, params, batch, config: Config, train_frac=1.0,
+                 eval_camidx=0, mesh=None):
+    """Render all rays of an image by chunking through the jitted eval step.
+
+    Args:
+      eval_step: from make_eval_step.
+      batch: dict of [H, W, ...] ray arrays (host numpy).
+      eval_camidx: brightness-correction view id for this render.
+
+    Returns:
+      dict of [H, W, ...] numpy arrays.
+    """
+    height, width = batch["origins"].shape[:2]
+    num_rays = height * width
+    flat = {k: np.asarray(v).reshape((num_rays,) + v.shape[2:])
+            for k, v in batch.items() if v is not None}
+
+    chunk = config.render_chunk_size
+    mesh_size = mesh.devices.size if mesh is not None else 1
+    outs = []
+    for i0 in range(0, num_rays, chunk):
+        chunk_batch = {k: v[i0:i0 + chunk] for k, v in flat.items()}
+        chunk_batch, pad = meshlib.pad_rays_to_multiple(chunk_batch, mesh_size)
+        if mesh is not None:
+            chunk_batch = meshlib.shard_batch(chunk_batch, mesh)
+        out = eval_step(params, chunk_batch, train_frac, eval_camidx)
+        out = jax.tree.map(np.asarray, out)
+        if pad:
+            out = jax.tree.map(lambda x: x[:-pad], out)
+        outs.append(out)
+
+    rendering = {}
+    for k in outs[0]:
+        z = np.concatenate([o[k] for o in outs], axis=0)
+        rendering[k] = z.reshape((height, width) + z.shape[1:])
+    return rendering
