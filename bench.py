@@ -26,6 +26,7 @@ def main():
 
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from ucnerf_tpu import configs
     from ucnerf_tpu.train import state as state_lib
@@ -41,15 +42,20 @@ def main():
     for i in range(args.warmup):
         state, stats = train_step(state, batch, jax.random.fold_in(key, i),
                                   jnp.float32(0.5))
-    jax.block_until_ready(stats["loss"])
+    # Force completion with a host fetch: block_until_ready is not reliable
+    # through remote-execution tunnels.
+    float(stats["loss"])
 
     t0 = time.perf_counter()
     for i in range(args.steps):
         state, stats = train_step(state, batch,
                                   jax.random.fold_in(key, 100 + i),
                                   jnp.float32(0.5))
-    jax.block_until_ready(stats["loss"])
+    # The state threads through every step, so fetching the final loss
+    # forces the whole chain.
+    final_loss = float(stats["loss"])
     dt = time.perf_counter() - t0
+    assert np.isfinite(final_loss), final_loss
 
     steps_per_sec = args.steps / dt
     rays_per_sec = cfg.batch_size * steps_per_sec

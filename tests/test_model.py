@@ -164,12 +164,12 @@ def test_grad_scaler():
         r, d = grad_scaler.scale_gradients_by_distance(rgb, density, dist)
         return (r.sum() + d.sum())
 
-    rgb = jnp.ones((4, 2, 3))
+    rgb = jnp.ones((3, 4, 2))  # channel-major [3, R, S]
     density = jnp.ones((4, 2))
     dist = jnp.array([[0.1, 0.5], [1.0, 2.0], [0.0, 0.7], [3.0, 0.2]])
     g_rgb, g_density = jax.grad(f, argnums=(0, 1))(rgb, density, dist)
     expect = np.clip(np.asarray(dist) ** 2, 0, 1)
     np.testing.assert_allclose(np.asarray(g_density), expect, rtol=1e-6)
     np.testing.assert_allclose(np.asarray(g_rgb),
-                               np.tile(expect[..., None], (1, 1, 3)),
+                               np.tile(expect[None], (3, 1, 1)),
                                rtol=1e-6)

@@ -34,6 +34,7 @@ def setup_experiment(config: configs.Config, mode: str):
     os.makedirs(exp, exist_ok=True)
     logger = logging.getLogger("ucnerf_tpu")
     logger.setLevel(logging.INFO)
+    logger.propagate = False  # avoid duplicate lines via the root logger
     logger.handlers = []
     fmt = logging.Formatter("%(asctime)s: %(message)s")
     for h in (logging.StreamHandler(sys.stdout),

@@ -175,9 +175,16 @@ class Config:
     prop_mlp: MLPConfig = dataclasses.field(
         default_factory=lambda: MLPConfig(disable_rgb=True,
                                           disable_density_normals=True))
-    # Parallelism.
+    # Parallelism / memory.
     mesh_shape: Optional[Tuple[int, ...]] = None  # None -> all devices, 1D.
     donate_train_state: bool = True
+    remat_fields: bool = True  # jax.checkpoint around the field MLPs.
+    # Gradient-accumulation microbatches inside the jitted train step.  All
+    # loss terms are ray-means (+ param-only regularizers), so accumulating
+    # microbatch gradients is EXACTLY the full-batch gradient; the lax.scan
+    # body is compiled once and reused, bounding both XLA program size and
+    # activation memory.
+    microbatches: int = 1
 
 
 def waymo(**overrides) -> Config:
@@ -195,6 +202,7 @@ def waymo(**overrides) -> Config:
         brightness_correction=True,
         model_sky=True,
         virtual_poses=False,
+        microbatches=10,
         model=ModelConfig(num_levels=2, num_prop_samples=128,
                           num_nerf_samples=32),
         nerf_mlp=MLPConfig(disable_density_normals=True),

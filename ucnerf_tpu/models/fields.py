@@ -1,17 +1,18 @@
 """Field MLPs: hash-grid density + view-dependent color (TPU/JAX/flax).
 
 The Zip-NeRF field of the reference (``/root/reference/nerf/internal/models.py``
-``MLP``, models.py:367-685), re-designed for TPU:
+``MLP``, models.py:367-685), re-designed for TPU with a **channel-major**
+internal layout: every large activation is [features, N] with the huge point
+axis minormost (the TPU lane dimension).  A reference-shaped [N, 6, L, C]
+pipeline lane-pads its small trailing dims up to 128 and blows HBM by 20-40x
+at training sizes; channel-major tiles cleanly and feeds the MXU directly
+([out, in] x [in, N] matmuls with N on the lanes).
 
-- Hash-grid features are gathered per hex multisample, downweighted by the
-  erf anti-aliasing factor, and averaged over the 6 multisamples BEFORE the
-  MLP (models.py:494-496) — so the MXU matmuls run once per (ray, sample).
-- Dense layers use torch-Linear-equivalent fan-in uniform init so training
-  dynamics track the reference.
-- The scale-featurization path (models.py:497-506) appends per-level erf
-  means scaled by the table's RMS.
-
-All shapes are static; the module is fully jit/pjit-compatible.
+- Hash-grid features are gathered per hex multisample with the erf
+  anti-aliasing weight and the 6-point average folded into the encoder
+  (models.py:494-496), so the MLP runs once per (ray, sample).
+- Dense layers store torch-Linear-layout [in, out] kernels with
+  fan-in-uniform init so training dynamics track the reference.
 """
 
 from __future__ import annotations
@@ -49,11 +50,29 @@ def _dense(features, name=None, kernel_init=torch_linear_init,
                     bias_init=bias_init)
 
 
+class DenseCM(nn.Module):
+    """Dense layer over channel-major activations: [in, N] -> [out, N].
+
+    Stores the kernel as [in, out] (identical pytree to nn.Dense) and
+    contracts the leading axis, keeping N on the TPU lanes."""
+    features: int
+    kernel_init: any = torch_linear_init
+    bias_init: any = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", self.kernel_init,
+                            (x.shape[0], self.features))
+        bias = self.param("bias", self.bias_init, (self.features,))
+        y = jnp.einsum("io,i...->o...", kernel, x)
+        return y + bias.reshape((self.features,) + (1,) * (y.ndim - 1))
+
+
 class ZipMLP(nn.Module):
-    """Density + color field over hash-grid features.
+    """Density + color field over hash-grid features (channel-major).
 
     Call signature follows the reference MLP.forward (models.py:514-685),
-    with explicit PRNG keys instead of global RNG state.
+    with explicit PRNG keys and channel-major tensors.
     """
     config: MLPConfig
 
@@ -71,78 +90,73 @@ class ZipMLP(nn.Module):
         self.table = self.param(
             "table",
             lambda key: hashgrid.init_table(key, self.grid_spec))
-        self.density_hidden = _dense(64, name="density_hidden")
+        self.density_hidden = DenseCM(64, name="density_hidden")
         out_width = 1 if cfg.disable_rgb else cfg.bottleneck_width
-        self.density_out = _dense(out_width, name="density_out")
+        self.density_out = DenseCM(out_width, name="density_out")
 
         if cfg.enable_pred_normals:
-            self.normal_layer = _dense(3, name="normal_layer")
+            self.normal_layer = DenseCM(3, name="normal_layer")
 
         if not cfg.disable_rgb:
             if cfg.num_glo_features > 0:
                 glo_layers = []
                 for i in range(cfg.net_depth_glo - 1):
-                    glo_layers.append(_dense(cfg.net_width_glo,
-                                             name=f"lin_glo_{i}"))
-                glo_layers.append(_dense(cfg.bottleneck_width * 2,
-                                         name=f"lin_glo_{cfg.net_depth_glo - 1}"))
+                    glo_layers.append(DenseCM(cfg.net_width_glo,
+                                              name=f"lin_glo_{i}"))
+                glo_layers.append(
+                    DenseCM(cfg.bottleneck_width * 2,
+                            name=f"lin_glo_{cfg.net_depth_glo - 1}"))
                 self.glo_layers = glo_layers
             view_layers = []
             for i in range(cfg.net_depth_viewdirs):
                 view_layers.append(
-                    _dense(cfg.net_width_viewdirs,
-                           name=f"lin_second_stage_{i}",
-                           kernel_init=kaiming_uniform_init))
+                    DenseCM(cfg.net_width_viewdirs,
+                            name=f"lin_second_stage_{i}",
+                            kernel_init=kaiming_uniform_init))
             self.view_layers = view_layers
-            self.rgb_layer = _dense(cfg.num_rgb_channels, name="rgb_layer")
-
-    @property
-    def grid_sizes(self):
-        """Per-level table resolutions, as float, for the erf weighting."""
-        return jnp.asarray(self.grid_spec.resolutions, jnp.float32)
+            self.rgb_layer = DenseCM(cfg.num_rgb_channels, name="rgb_layer")
 
     def encode_features(self, means, stds):
-        """Warp, hash-encode, erf-downweight and average the multisamples.
+        """Warp, hash-encode, erf-downweight, hex-average (channel-major).
 
         Args:
-          means: [..., S, 3] multisample means (S = 6 hex points).
-          stds:  [..., S] multisample stds.
+          means: [3, 6, R, S] multisample means (6 hex points).
+          stds:  [6, R, S] multisample stds.
 
         Returns:
-          features [..., L*C (+L)], means_contract [..., 3].
+          features [F, M] (M = R*S), means_contract [3, R, S].
         """
         cfg = self.config
+        _, _, r, s = means.shape
+        m = r * s
         if cfg.warp_fn is not None:
-            means, stds = coord.track_linearize(cfg.warp_fn, means, stds)
-            # contract() maps into the radius-2 ball; normalize to [-1, 1].
-            bound = 2.0
+            means, stds = coord.track_linearize_cm(cfg.warp_fn, means, stds)
+            bound = 2.0  # contract() maps into the radius-2 ball.
             means = means / bound
             stds = stds / bound
-        feats = hashgrid.encode(means, self.table, self.grid_spec)
-        # erf anti-aliasing weight per (multisample, level): features whose
-        # grid cell is much smaller than the sample std are suppressed
-        # (models.py:495, uses exact erf).
-        weights = jax.lax.erf(
-            1.0 / jnp.sqrt(8.0 * stds[..., None] ** 2 * self.grid_sizes**2))
-        feats = (feats * weights[..., None]).mean(axis=-3)  # avg multisamples
-        feats = feats.reshape(feats.shape[:-2] + (-1,))
+        x01 = (means.reshape(3, 6, m) + 1.0) / 2.0
+        feats, wmeans = hashgrid.encode_hex_cm(
+            x01, stds.reshape(6, m), self.table, self.grid_spec)
         if cfg.scale_featurization:
-            # [L] per-level mean squared table norm, treated as a constant.
             vl2mean = jax.lax.stop_gradient(
                 hashgrid.level_sq_means(self.table, self.grid_spec))
-            featurized_w = ((2 * weights.mean(axis=-2) - 1) *
-                            jnp.sqrt(cfg.grid_init_std**2 + vl2mean))
-            feats = jnp.concatenate([feats, featurized_w], axis=-1)
-        return feats, means.mean(axis=-2)
+            featurized_w = ((2 * wmeans - 1)
+                            * jnp.sqrt(cfg.grid_init_std**2
+                                       + vl2mean)[:, None])
+            feats = jnp.concatenate([feats, featurized_w], axis=0)
+        return feats, means.mean(axis=1)
 
     def predict_density(self, means, stds, key=None):
-        """Features -> raw density (+ bottleneck) (models.py:485-512)."""
+        """Features -> raw density (+ bottleneck) (models.py:485-512).
+
+        Returns raw_density [R, S], bottleneck x [W, M], means_contract."""
         cfg = self.config
+        _, _, r, s = means.shape
         feats, means_contract = self.encode_features(means, stds)
         x = self.density_hidden(feats)
         x = nn.relu(x)
         x = self.density_out(x)
-        raw_density = x[..., 0]
+        raw_density = x[0].reshape(r, s)
         if key is not None and cfg.density_noise > 0:
             raw_density += cfg.density_noise * jax.random.normal(
                 key, raw_density.shape)
@@ -153,15 +167,18 @@ class ZipMLP(nn.Module):
 
         Args:
           key: PRNG key for noise injection, or None (deterministic).
-          means: [..., S, 3] multisample Gaussian means.
-          stds: [..., S] multisample Gaussian stds.
-          viewdirs: [N, 3] per-ray view directions (broadcast over samples).
-          glo_vec: optional [N, num_glo_features].
+          means: [3, 6, R, S] multisample Gaussian means (channel-major).
+          stds: [6, R, S] multisample Gaussian stds.
+          viewdirs: [R, 3] per-ray view directions (broadcast over samples).
+          glo_vec: optional [R, num_glo_features].
 
         Returns:
-          dict with density [...], rgb [..., 3], coord, normals (opt).
+          dict with density [R, S], rgb [3, R, S], coord [3, R, S],
+          normals/normals_pred [3, R, S] or None.
         """
         cfg = self.config
+        _, _, r, s = means.shape
+        m = r * s
         keys = {} if key is None else dict(zip(
             ("density", "bottleneck"), jax.random.split(key, 2)))
 
@@ -170,63 +187,63 @@ class ZipMLP(nn.Module):
                 means, stds, keys.get("density"))
             normals = None
         else:
-            # Normals from the density gradient w.r.t. the (contracted) mean
-            # positions, via forward-mode in 3 passes.  The reference
-            # differentiates w.r.t. pre-contraction means with the
-            # contraction itself under no_grad (models.py:551-567).
-            def density_fn(m):
-                return self.predict_density(m, stds, keys.get("density"))[0]
+            # Normals = -normalize(d raw_density / d means), averaged over
+            # the hex points.  The reference differentiates w.r.t.
+            # pre-contraction means with the contraction under no_grad
+            # (models.py:551-567); grad w.r.t. `means` here matches because
+            # track_linearize stops gradients inside.
+            def density_sum(mn):
+                return self.predict_density(mn, stds,
+                                            keys.get("density"))[0].sum()
             raw_density, x, means_contract = self.predict_density(
                 means, stds, keys.get("density"))
-            grad = jax.grad(lambda m: density_fn(m).sum())(means)
-            grad = grad.mean(axis=-2)
-            normals = -_l2_normalize(grad)
+            grad = jax.grad(density_sum)(means)  # [3, 6, R, S]
+            grad = grad.mean(axis=1)  # [3, R, S]
+            normals = -_l2_normalize_cm(grad)
 
         if cfg.enable_pred_normals:
-            grad_pred = self.normal_layer(x)
-            normals_pred = -_l2_normalize(grad_pred)
-            normals_to_use = normals_pred
+            grad_pred = self.normal_layer(x).reshape(3, r, s)
+            normals_pred = -_l2_normalize_cm(grad_pred)
         else:
             grad_pred = None
             normals_pred = None
-            normals_to_use = normals
 
         density = jax.nn.softplus(raw_density + cfg.density_bias)
 
         if cfg.disable_rgb:
-            rgb = jnp.zeros(density.shape + (3,), density.dtype)
+            rgb = jnp.zeros((3, r, s), density.dtype)
         else:
-            bottleneck = x
+            bottleneck = x  # [W, M]
             if "bottleneck" in keys and cfg.bottleneck_noise > 0:
                 bottleneck += cfg.bottleneck_noise * jax.random.normal(
                     keys["bottleneck"], bottleneck.shape)
             if glo_vec is not None and cfg.num_glo_features > 0:
-                g = glo_vec
+                g = glo_vec.T  # [G, R]
                 for i, layer in enumerate(self.glo_layers):
                     g = layer(g)
                     if i != len(self.glo_layers) - 1:
                         g = nn.relu(g)
-                g = jnp.broadcast_to(g[..., None, :],
-                                     bottleneck.shape[:-1] + g.shape[-1:])
-                scale, shift = jnp.split(g, 2, axis=-1)
-                bottleneck = bottleneck * jnp.exp(scale) + shift
-            parts = [bottleneck]
+                scale, shift = jnp.split(g, 2, axis=0)  # [W, R] each
+                b3 = bottleneck.reshape(-1, r, s)
+                b3 = b3 * jnp.exp(scale)[:, :, None] + shift[:, :, None]
+                bottleneck = b3.reshape(-1, m)
+            # View direction encoding, per ray then broadcast over samples.
             dir_enc = coord.pos_enc(viewdirs, min_deg=0, max_deg=cfg.deg_view,
-                                    append_identity=True)
-            dir_enc = jnp.broadcast_to(
-                dir_enc[..., None, :],
-                bottleneck.shape[:-1] + (dir_enc.shape[-1],))
-            parts.append(dir_enc)
-            h = jnp.concatenate(parts, axis=-1)
+                                    append_identity=True)  # [R, D]
+            dir_enc_cm = jnp.broadcast_to(
+                dir_enc.T[:, :, None], (dir_enc.shape[1], r, s)
+            ).reshape(-1, m)
+            h = jnp.concatenate([bottleneck, dir_enc_cm], axis=0)
             inputs = h
             for i, layer in enumerate(self.view_layers):
                 h = layer(h)
                 h = nn.relu(h)
                 if i == cfg.skip_layer_dir:
-                    h = jnp.concatenate([h, inputs], axis=-1)
+                    h = jnp.concatenate([h, inputs], axis=0)
             rgb = nn.sigmoid(cfg.rgb_premultiplier * self.rgb_layer(h)
                              + cfg.rgb_bias)
             rgb = rgb * (1 + 2 * cfg.rgb_padding) - cfg.rgb_padding
+            rgb = rgb.reshape(3, r, s)
 
         return dict(
             coord=means_contract,
@@ -238,6 +255,7 @@ class ZipMLP(nn.Module):
         )
 
 
-def _l2_normalize(x, eps=1e-12):
+def _l2_normalize_cm(x, eps=1e-12):
+    """Normalize over the leading (channel) axis."""
     return x / jnp.sqrt(
-        jnp.maximum(jnp.sum(x**2, axis=-1, keepdims=True), eps))
+        jnp.maximum(jnp.sum(x**2, axis=0, keepdims=True), eps))

@@ -37,10 +37,15 @@ class UCNeRFModel(nn.Module):
     def setup(self):
         cfg = self.config
         mcfg = cfg.model
-        self.nerf_mlp = ZipMLP(cfg.nerf_mlp, name="nerf_mlp")
+        # Remat the field MLPs: the per-level encode+MLP intermediates are
+        # recomputed in the backward pass instead of living across the whole
+        # step (jax.checkpoint; replaces nothing in the reference — torch
+        # keeps all activations and pays in HBM).
+        field_cls = nn.remat(ZipMLP) if cfg.remat_fields else ZipMLP
+        self.nerf_mlp = field_cls(cfg.nerf_mlp, name="nerf_mlp")
         prop_mlps = []
         for i in range(mcfg.num_levels - 1):
-            prop_mlps.append(ZipMLP(
+            prop_mlps.append(field_cls(
                 cfg.prop_mlp.with_grid(mcfg.prop_desired_grid_size[i]),
                 name=f"prop_mlp_{i}"))
         self.prop_mlps = prop_mlps
@@ -139,7 +144,8 @@ class UCNeRFModel(nn.Module):
 
             tdist = s_to_t(sdist)
 
-            means, stds, ts = rendering.cast_rays(
+            # Channel-major hot path: means [3, 6, R, S], stds/ts [6, R, S].
+            means, stds, ts = rendering.cast_rays_cm(
                 keys[ki], tdist, batch["origins"], batch["directions"],
                 batch["cam_dirs"], batch["radii"], std_scale=mcfg.std_scale)
             ki += 1
@@ -151,10 +157,11 @@ class UCNeRFModel(nn.Module):
             ki += 1
 
             if cfg.brightness_correction:
-                # Floaters-no-more gradient scaling (models.py:232-235).
+                # Floaters-no-more gradient scaling (models.py:232-235);
+                # the reference scales by the hex-mean sample distance.
                 rgb_s, density_s = grad_scaler.scale_gradients_by_distance(
                     ray_results["rgb"], ray_results["density"],
-                    ts.mean(axis=-1))
+                    ts.mean(axis=0))
                 ray_results = dict(ray_results, rgb=rgb_s, density=density_s)
 
             weights = rendering.compute_alpha_weights(
@@ -170,7 +177,7 @@ class UCNeRFModel(nn.Module):
                     bg_rgbs = lo + (hi - lo) * jax.random.uniform(
                         keys[-1], weights.shape[:-1] + (3,))
 
-            level_render = rendering.volumetric_rendering(
+            level_render = rendering.volumetric_rendering_cm(
                 ray_results["rgb"], weights, tdist, bg_rgbs, batch["far"],
                 compute_extras,
                 extras={k: v for k, v in ray_results.items()

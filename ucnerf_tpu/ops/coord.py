@@ -70,6 +70,29 @@ def track_linearize(fn, mean, std):
     return jax.lax.stop_gradient(mean), jax.lax.stop_gradient(std)
 
 
+def contract_mean_std_cm(x, std):
+    """Channel-major twin of contract_mean_std: x [3, ...], std [...].
+
+    Keeps the coordinate axis leading so the large point axes stay in the
+    TPU lane/sublane dims (no [..., 3] lane padding)."""
+    x_mag_sq = jnp.maximum(x[0] ** 2 + x[1] ** 2 + x[2] ** 2, EPS)
+    x_mag_sqrt = jnp.sqrt(x_mag_sq)
+    mask = x_mag_sq <= 1
+    scale = jnp.where(mask, 1.0, (2 * x_mag_sqrt - 1) / x_mag_sq)
+    z = x * scale[None]
+    det_13 = (jnp.cbrt(jnp.maximum(2 * x_mag_sqrt - 1, EPS)) / x_mag_sqrt) ** 2
+    std = jnp.where(mask, std, det_13 * std)
+    return z, std
+
+
+def track_linearize_cm(fn, mean, std):
+    """Channel-major track_linearize (gradients stopped, as in the ref)."""
+    if fn != "contract":
+        raise NotImplementedError(fn)
+    mean, std = contract_mean_std_cm(mean, std)
+    return jax.lax.stop_gradient(mean), jax.lax.stop_gradient(std)
+
+
 def power_transformation(x, lam):
     """Power transformation, Eq (4) of Zip-NeRF."""
     lam_1 = np.abs(lam - 1)

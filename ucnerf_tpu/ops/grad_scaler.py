@@ -15,7 +15,10 @@ import jax.numpy as jnp
 @jax.custom_vjp
 def scale_gradients_by_distance(rgb, density, ray_dist):
     """Returns (rgb, density) unchanged; scales their cotangents by
-    clamp(ray_dist^2, 0, 1) on the way back."""
+    clamp(ray_dist^2, 0, 1) on the way back.
+
+    Channel-major layout: rgb [3, *dims], density [*dims], ray_dist [*dims].
+    """
     return rgb, density
 
 
@@ -26,7 +29,7 @@ def _fwd(rgb, density, ray_dist):
 def _bwd(ray_dist, cotangents):
     g_rgb, g_density = cotangents
     scaling = jnp.clip(jnp.square(ray_dist), 0.0, 1.0)
-    return g_rgb * scaling[..., None], g_density * scaling, None
+    return g_rgb * scaling[None], g_density * scaling, None
 
 
 scale_gradients_by_distance.defvjp(_fwd, _bwd)

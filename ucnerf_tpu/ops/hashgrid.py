@@ -116,9 +116,15 @@ class HashGridSpec:
 
 def init_table(key: jax.Array, spec: HashGridSpec,
                dtype=jnp.float32) -> jax.Array:
-    """Initialize the packed embedding table, U(-init_std, init_std)."""
+    """Initialize the packed embedding table, U(-init_std, init_std).
+
+    Stored FLAT as [rows * level_dim] (row-major): any [rows, C<128] 2-D view
+    of a multi-million-row table gets lane-padded 32x by the TPU tiled layout
+    (7+ GB per copy at canonical scale); every consumer (gather, decay stats)
+    operates on flat slices instead.
+    """
     return jax.random.uniform(
-        key, (spec.table_rows, spec.level_dim), dtype=dtype,
+        key, (spec.table_rows * spec.level_dim,), dtype=dtype,
         minval=-spec.init_std, maxval=spec.init_std)
 
 
@@ -160,12 +166,13 @@ def encode_level(x01, table, spec: HashGridSpec, level: int):
     Args:
       x01: [N, D] float32 coordinates; values outside [0, 1] produce zeros
         (gridencoder.cu:111-135).
-      table: [rows, C] packed embedding table.
+      table: [rows * C] flat packed embedding table (see init_table).
       level: static level index.
 
     Returns:
       [N, C] features.
     """
+    table = table.reshape(-1, spec.level_dim)
     scale = np.float32(spec.cuda_scales[level])
     oob = jnp.any((x01 < 0) | (x01 > 1), axis=-1)
     xs = jnp.clip(x01, 0.0, 1.0)
@@ -214,25 +221,126 @@ def encode(x, table, spec: HashGridSpec, bound: float = 1.0):
     return out.reshape(batch_shape + (spec.num_levels, spec.level_dim))
 
 
+def _corner_index_components(spec: HashGridSpec, level: int, cx, cy, cz):
+    """Row index within a level from separate uint32 coordinate arrays.
+
+    Identical math to _corner_index but on component arrays, so callers can
+    keep every tensor in a TPU-friendly layout (no trailing dim of 3)."""
+    hashmap_size = spec.level_sizes[level]
+    if spec.uses_hash(level):
+        index = (cx * np.uint32(_PRIMES[0])
+                 ^ cy * np.uint32(_PRIMES[1])
+                 ^ cz * np.uint32(_PRIMES[2]))
+    else:
+        stride = np.uint32(spec.cuda_resolutions[level] + 1)
+        index = cx + cy * stride + cz * stride * stride
+        r = spec.cuda_resolutions[level]
+        max_index = int(r) * (1 + int(stride) + int(stride) ** 2)
+        if max_index < hashmap_size:
+            return index
+    if hashmap_size & (hashmap_size - 1) == 0:
+        return index & np.uint32(hashmap_size - 1)
+    return index % np.uint32(hashmap_size)
+
+
+def encode_hex_cm(x01, stds, table, spec: HashGridSpec, grid_sizes=None,
+                  accum_dtype=jnp.float32):
+    """Channel-major hash encode with erf weighting + hex-mean folded in.
+
+    The TPU-native hot path: every tensor it touches keeps the large point
+    axis minormost (lane dimension), so nothing suffers the 21x lane padding
+    that a [..., 6]- or [..., 4]-trailing layout incurs.  Semantically equals
+    encode() followed by the erf multisample downweighting and the mean over
+    the 6 hex points (models.py:494-496), but never materializes the
+    [N, 6, L, C] intermediates.
+
+    Args:
+      x01: [3, 6, M] unit-cube coordinates, channel-major, hex axis second
+        (M = rays*samples).
+      stds: [6, M] per-multisample Gaussian stds in the SAME normalized frame
+        as x01 (callers divide by the contraction bound before this).
+      table: [rows * C] FLAT packed table (see init_table).
+      grid_sizes: optional [L] float resolutions for the erf weight; defaults
+        to spec.resolutions.  Pass None for stds to skip weighting.
+
+    Returns:
+      feats [L*C, M]: per-level features, hex-averaged, erf-weighted.
+      wmeans [L, M]: per-level mean erf weight over hex points (used by the
+        scale-featurization path); zeros-shaped if stds is None.
+    """
+    del accum_dtype
+    if grid_sizes is None:
+        grid_sizes = np.asarray(spec.resolutions, np.float32)
+    tab_flat = table
+    c_dim = spec.level_dim
+    m = x01.shape[-1]
+
+    oob = ((x01[0] < 0) | (x01[0] > 1) | (x01[1] < 0) | (x01[1] > 1)
+           | (x01[2] < 0) | (x01[2] > 1))
+    xs = jnp.clip(x01, 0.0, 1.0)
+
+    feats = []
+    wmeans = []
+    for level in range(spec.num_levels):
+        scale = np.float32(spec.cuda_scales[level])
+        pos = xs * scale + np.float32(0.5)
+        pos_floor = jnp.floor(pos)
+        frac = pos - jax.lax.stop_gradient(pos_floor)
+        pg = pos_floor.astype(jnp.uint32)  # [3, 6, M]
+
+        if stds is not None:
+            w_erf = jax.lax.erf(
+                1.0 / jnp.sqrt(8.0 * stds**2
+                               * np.float32(grid_sizes[level]) ** 2))
+        else:
+            w_erf = jnp.ones((6, m), x01.dtype)
+        w_valid = jnp.where(oob, 0.0, w_erf)  # zero oob contributions
+
+        accs = [jnp.zeros((6, m), table.dtype) for _ in range(c_dim)]
+        for corner in range(8):
+            w = jnp.ones((6, m), x01.dtype)
+            comps = []
+            for d in range(3):
+                if corner & (1 << d):
+                    w = w * frac[d]
+                    comps.append(pg[d] + np.uint32(1))
+                else:
+                    w = w * (1 - frac[d])
+                    comps.append(pg[d])
+            idx = _corner_index_components(spec, level, *comps)
+            base = (idx.astype(jnp.int32)
+                    + np.int32(spec.offsets[level])) * np.int32(c_dim)
+            for c in range(c_dim):
+                accs[c] = accs[c] + w * jnp.take(tab_flat, base + c)
+        for c in range(c_dim):
+            feats.append((accs[c] * w_valid).mean(axis=0))
+        wmeans.append(w_erf.mean(axis=0))
+    return jnp.stack(feats, axis=0), jnp.stack(wmeans, axis=0)
+
+
 def hash_decay_means(table, spec: HashGridSpec):
     """Per-level mean of squared embeddings: [L].
 
     Replaces the reference's segment_coo scatter-mean (models.py:299-306)
-    with static per-level slices — level extents are compile-time constants,
-    so this is a handful of dense reductions instead of a scatter.
+    with static per-level slices over the FLAT table — level extents are
+    compile-time constants, so this is a handful of rank-1 reductions
+    (mean over a level's rows x channels == mean over its flat slice).
     """
+    c = spec.level_dim
     means = []
     for l in range(spec.num_levels):
-        lo, hi = spec.offsets[l], spec.offsets[l + 1]
+        lo, hi = spec.offsets[l] * c, spec.offsets[l + 1] * c
         means.append(jnp.mean(table[lo:hi] ** 2))
     return jnp.stack(means)
 
 
 def level_sq_means(table, spec: HashGridSpec):
     """Per-level mean over rows of sum_c emb^2: [L].  Used by the
-    scale-featurization path (models.py:497-506)."""
+    scale-featurization path (models.py:497-506).  On the flat table this is
+    mean(flat^2) * C."""
+    c = spec.level_dim
     means = []
     for l in range(spec.num_levels):
-        lo, hi = spec.offsets[l], spec.offsets[l + 1]
-        means.append(jnp.mean(jnp.sum(table[lo:hi] ** 2, axis=-1)))
+        lo, hi = spec.offsets[l] * c, spec.offsets[l + 1] * c
+        means.append(jnp.mean(table[lo:hi] ** 2) * c)
     return jnp.stack(means)

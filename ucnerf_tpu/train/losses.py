@@ -117,11 +117,11 @@ def orientation_loss(batch, ray_history, config: Config, num_levels: int):
     total = 0.0
     for i, ray_results in enumerate(ray_history):
         w = ray_results["weights"]
-        n = ray_results[config.orientation_loss_target]
+        n = ray_results[config.orientation_loss_target]  # [3, R, S]
         if n is None:
             raise ValueError("Normals cannot be None for orientation loss.")
-        v = -batch["viewdirs"]
-        n_dot_v = (n * v[..., None, :]).sum(axis=-1)
+        v = -batch["viewdirs"]  # [R, 3]
+        n_dot_v = jnp.einsum("crs,rc->rs", n, v)
         loss = (w * jnp.maximum(n_dot_v, 0.0) ** 2).sum(axis=-1).mean()
         mult = (config.orientation_coarse_loss_mult if i < num_levels - 1
                 else config.orientation_loss_mult)
@@ -134,12 +134,12 @@ def predicted_normal_loss(ray_history, config: Config, num_levels: int):
     total = 0.0
     for i, ray_results in enumerate(ray_history):
         w = ray_results["weights"]
-        n = ray_results["normals"]
+        n = ray_results["normals"]  # [3, R, S]
         n_pred = ray_results["normals_pred"]
         if n is None or n_pred is None:
             raise ValueError("Normals required for predicted-normal loss.")
         loss = jnp.mean(
-            (w * (1.0 - jnp.sum(n * n_pred, axis=-1))).sum(axis=-1))
+            (w * (1.0 - jnp.sum(n * n_pred, axis=0))).sum(axis=-1))
         mult = (config.predicted_normal_coarse_loss_mult if i < num_levels - 1
                 else config.predicted_normal_loss_mult)
         total += mult * loss

@@ -77,9 +77,50 @@ def make_train_step(model: UCNeRFModel, config: Config, mesh=None):
             batch, renderings, ray_history, config)
         return total, (losses, stats)
 
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    num_micro = max(config.microbatches, 1)
+
+    def compute_grads(params, batch, key, train_frac):
+        if num_micro == 1:
+            (total, (losses, stats)), grads = grad_fn(params, batch, key,
+                                                      train_frac)
+            return total, losses, stats, grads
+
+        # Microbatch gradient accumulation: reshape the ray axis to
+        # [num_micro, -1] and scan; since every loss term is a mean over
+        # rays (or independent of them), the averaged gradient equals the
+        # full-batch gradient exactly.
+        micro = jax.tree.map(
+            lambda x: x.reshape((num_micro, x.shape[0] // num_micro)
+                                + x.shape[1:]), batch)
+        keys = jax.random.split(key, num_micro)
+
+        def body(carry, xs):
+            acc_grads, acc_total, acc_losses, acc_stats = carry
+            mb, k = xs
+            (total, (losses, stats)), grads = grad_fn(params, mb, k,
+                                                      train_frac)
+            acc = jax.tree.map(jnp.add, acc_grads, grads)
+            return (acc, acc_total + total,
+                    jax.tree.map(jnp.add, acc_losses, losses),
+                    jax.tree.map(jnp.add, acc_stats, stats)), None
+
+        zero_grads = jax.tree.map(jnp.zeros_like, params)
+        mb0 = jax.tree.map(lambda x: x[0], micro)
+        # Structure-only evaluation for the loss/stat accumulators.
+        (_, (losses_s, stats_s)), _ = jax.eval_shape(
+            grad_fn, params, mb0, keys[0], train_frac)
+        zeros = lambda t: jax.tree.map(
+            lambda s: jnp.zeros(s.shape, s.dtype), t)
+        (grads, total, losses, stats), _ = jax.lax.scan(
+            body, (zero_grads, jnp.zeros(()), zeros(losses_s),
+                   zeros(stats_s)), (micro, keys))
+        inv = 1.0 / num_micro
+        scale = lambda t: jax.tree.map(lambda x: x * inv, t)
+        return total * inv, scale(losses), scale(stats), scale(grads)
+
     def train_step(state, batch, key, train_frac):
-        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (total, (losses, stats)), grads = grad_fn(
+        total, losses, stats, grads = compute_grads(
             state.params, batch, key, train_frac)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = jax.tree.map(lambda p, u: p + u, state.params, updates)
