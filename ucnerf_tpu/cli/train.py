@@ -14,6 +14,7 @@ Usage:
 
 from __future__ import annotations
 
+import os
 import time
 
 import numpy as np
@@ -24,6 +25,11 @@ def main(argv=None):
 
     parser = common.make_parser(__doc__)
     parser.add_argument("--max-steps", type=int, default=None)
+    parser.add_argument("--profile-steps", type=int, default=0,
+                        help="capture a jax.profiler trace over N steps "
+                             "(written to <exp>/profile)")
+    parser.add_argument("--multihost", action="store_true",
+                        help="initialize jax.distributed before training")
     args = parser.parse_args(argv)
     config = common.load_config_from_args(args)
     if args.max_steps is not None:
@@ -42,7 +48,10 @@ def main(argv=None):
     from ucnerf_tpu.train import step as step_lib
     from ucnerf_tpu.utils import image as image_lib
 
-    logger.info("devices: %s", jax.devices())
+    if args.multihost:
+        meshlib.initialize_multihost()
+    logger.info("devices: %s (process %d/%d)", jax.devices(),
+                jax.process_index(), jax.process_count())
     mesh = meshlib.create_mesh()
 
     dataset = datasets.load_dataset("train", config)
@@ -72,7 +81,15 @@ def main(argv=None):
     key = jax.random.PRNGKey(5678)
     t_start = time.time()
     t_window = time.time()
+    profile_stop = init_step + 5 + args.profile_steps  # skip compile steps
     for step in range(init_step + 1, config.max_steps + 1):
+        if args.profile_steps and step == init_step + 5:
+            # Trace steady-state steps (per-step rays/s is the BASELINE.json
+            # north-star metric; the trace shows where each step's time goes).
+            jax.profiler.start_trace(os.path.join(exp, "profile"))
+        if args.profile_steps and step == profile_stop:
+            jax.profiler.stop_trace()
+            logger.info("profiler trace written to %s/profile", exp)
         batch = dataset.sample_batch(rng, config.batch_size)
         batch = meshlib.shard_batch(batch, mesh)
         train_frac = np.clip((step - 1) / (config.max_steps - 1), 0, 1)

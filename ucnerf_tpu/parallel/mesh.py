@@ -58,6 +58,47 @@ def shard_batch(batch, mesh: Mesh):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None):
+    """Initialize jax.distributed for multi-host training.
+
+    TPU-native replacement for accelerate's process-group init
+    (reference train.py:44): on TPU pods the arguments are discovered from
+    the environment; explicit args support CPU/GPU clusters.  Safe to call
+    when already initialized or single-host (no-op).
+    """
+    import jax
+
+    if jax.process_count() > 1:
+        return  # already initialized
+    try:
+        if coordinator_address is not None:
+            jax.distributed.initialize(coordinator_address, num_processes,
+                                       process_id)
+        else:
+            jax.distributed.initialize()
+    except (ValueError, RuntimeError):
+        pass  # single-host / no cluster env: run locally
+
+
+def is_main_process() -> bool:
+    """host-0-only I/O gating (reference train.py:118,232)."""
+    import jax
+    return jax.process_index() == 0
+
+
+def all_gather_host(x):
+    """Gather a per-host array across processes onto every host.
+
+    Replaces accelerator.gather for eval reassembly (models.py:965-968)."""
+    import jax
+    if jax.process_count() == 1:
+        return x
+    from jax.experimental import multihost_utils
+    return multihost_utils.process_allgather(x)
+
+
 def pad_rays_to_multiple(batch, multiple: int):
     """Pad a flat ray batch so its leading axis divides the mesh size.
 
