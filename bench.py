@@ -22,6 +22,8 @@ def main():
     parser.add_argument("--batch-size", type=int, default=15000)
     parser.add_argument("--steps", type=int, default=20)
     parser.add_argument("--warmup", type=int, default=3)
+    parser.add_argument("--binding", "-b", action="append", default=[],
+                        help="config override, e.g. 'Config.microbatches = 4'")
     args = parser.parse_args()
 
     import jax
@@ -33,6 +35,7 @@ def main():
     from ucnerf_tpu.train import step as step_lib
 
     cfg = configs.waymo(batch_size=args.batch_size)
+    cfg = configs.parse_bindings(cfg, args.binding)
     model, params = step_lib.init_model(cfg, jax.random.PRNGKey(0))
     state = state_lib.create_train_state(cfg, params)
     train_step = step_lib.make_train_step(model, cfg)

@@ -77,6 +77,15 @@ def main(argv=None):
     eval_step = step_lib.make_eval_step(model, config, mesh=mesh)
     metric_harness = image_lib.MetricHarness()
 
+    # TensorBoard scalars/images (reference train.py:119,260-283).
+    writer = None
+    if meshlib.is_main_process():
+        try:
+            from tensorboardX import SummaryWriter
+            writer = SummaryWriter(exp)
+        except ImportError:
+            pass
+
     rng = np.random.default_rng(1234 + init_step)
     key = jax.random.PRNGKey(5678)
     t_start = time.time()
@@ -110,6 +119,15 @@ def main(argv=None):
                 "step %d/%d: loss=%.4f psnr=%.2f %.0f rays/s (%s)",
                 step, config.max_steps, float(stats["loss"]), psnr,
                 rays_per_sec, loss_str)
+            if writer is not None:
+                writer.add_scalar("train_loss", float(stats["loss"]), step)
+                writer.add_scalar("train_psnr", psnr, step)
+                writer.add_scalar("train_rays_per_sec", rays_per_sec, step)
+                writer.add_scalar("learning_rate",
+                                  float(state_lib.lr_schedule(config)(step)),
+                                  step)
+                for k, v in stats["losses"].items():
+                    writer.add_scalar(f"train_losses/{k}", float(v), step)
 
         if (config.train_render_every > 0
                 and step % config.train_render_every == 0):
@@ -124,6 +142,12 @@ def main(argv=None):
             logger.info("test render %d: psnr=%.2f ssim=%.3f (%.1fs)",
                         idx, metrics["psnr"], metrics["ssim"],
                         time.time() - t0)
+            if writer is not None:
+                writer.add_scalar("test_psnr", metrics["psnr"], step)
+                writer.add_scalar("test_ssim", metrics["ssim"], step)
+                writer.add_image(
+                    "test_render",
+                    np.clip(rendering["rgb"], 0, 1).transpose(2, 0, 1), step)
 
         if step % config.checkpoint_every == 0:
             ckpt_lib.save_checkpoint(exp, jax.device_get(state), step,

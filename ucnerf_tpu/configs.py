@@ -185,6 +185,9 @@ class Config:
     # body is compiled once and reused, bounding both XLA program size and
     # activation memory.
     microbatches: int = 1
+    # Drive microbatches from host (one short device program each) instead of
+    # one fused lax.scan — for environments with per-program runtime limits.
+    host_microbatches: bool = False
 
 
 def waymo(**overrides) -> Config:

@@ -131,9 +131,47 @@ class RayDataset:
         return batch
 
     def _sample_virtual(self, rng: np.random.Generator, n: int):
-        """Rejection-sample a virtual view with enough valid warped pixels
-        (datasets.py:507-567): rays cast from the virtual (src) camera, RGB
-        supervision from the real (ref) image at warped coordinates."""
+        """Sample virtual-supervision rays: rays cast from the virtual (src)
+        camera, RGB supervision from the real (ref) image at depth-warped
+        coordinates (datasets.py:507-567).
+
+        Fast path: a precomputed correspondence pool (built once; replaces
+        the reference's per-batch host-side rejection loop, which would stall
+        TPU steps).  Falls back to rejection sampling when the pool is empty.
+        """
+        if not hasattr(self, "_warp_pool"):
+            from ucnerf_tpu.data import warping as warplib
+            self._warp_pool = (
+                warplib.precompute_correspondence_pool(self, rng)
+                if self.disp_images is not None else None)
+        pool = self._warp_pool
+        if pool is not None:
+            sel = rng.integers(0, len(pool["src_cam_idx"]), n)
+            vidx = pool["src_cam_idx"][sel]
+            sx, sy = pool["src_px"][sel], pool["src_py"][sel]
+            ref_idx = pool["ref_idx"][sel]
+            rx, ry = pool["ref_px"][sel], pool["ref_py"][sel]
+            scal = lambda v: np.full((n, 1), v, np.float32)
+            pixels = dict(
+                pix_x_int=sx.astype(np.int64), pix_y_int=sy.astype(np.int64),
+                lossmult=scal(1.0), near=scal(self.near), far=scal(self.far),
+                # Per-ray camera arrays below, so index them identically.
+                cam_idx=np.arange(n, dtype=np.int64)[:, None],
+            )
+            vcams = (self.virtual_pixtocams[vidx],
+                     self.virtual_poses[vidx], self.distortion_params, None)
+            batch = camlib.cast_ray_batch(vcams, pixels, self.camtype)
+            batch["cam_dirs"] = (
+                -self.virtual_poses[vidx][:, :3, 2]).astype(np.float32)
+            batch["rgb"] = self.images[ref_idx, ry, rx].astype(np.float32)
+            if self.sky_segments is not None:
+                batch["sky_segs"] = self.sky_segments[
+                    ref_idx, ry, rx].astype(np.float32)
+            else:
+                batch["sky_segs"] = np.zeros((n,), np.float32)
+            batch["cam_idx"] = ref_idx.astype(np.int32)
+            batch.pop("imageplane", None)
+            return {k: v for k, v in batch.items() if v is not None}
         for _attempt in range(8):
             vidx = int(rng.integers(0, len(self.virtual_poses)))
             real_idx = vidx // 9

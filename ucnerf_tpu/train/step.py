@@ -129,6 +129,10 @@ def make_train_step(model: UCNeRFModel, config: Config, mesh=None):
         stats = dict(stats, loss=total, losses=losses)
         return new_state, stats
 
+    if config.host_microbatches and num_micro > 1:
+        return _make_host_microbatch_step(config, grad_fn, tx, mesh,
+                                          num_micro)
+
     if mesh is None:
         return jax.jit(train_step,
                        donate_argnums=(0,) if config.donate_train_state else ())
@@ -139,6 +143,71 @@ def make_train_step(model: UCNeRFModel, config: Config, mesh=None):
         in_shardings=(repl, data, repl, repl),
         out_shardings=(repl, repl),
         donate_argnums=(0,) if config.donate_train_state else ())
+
+
+def _make_host_microbatch_step(config: Config, grad_fn, tx, mesh, num_micro):
+    """Microbatch accumulation driven from host: one short device program per
+    microbatch plus one update program, instead of a single long scan.
+
+    Semantically identical to the scanned path (each loss is a ray-mean);
+    used when a single fused step would exceed per-program runtime limits of
+    the execution environment.
+    """
+    repl = meshlib.replicated_sharding(mesh) if mesh is not None else None
+    data = meshlib.batch_sharding(mesh) if mesh is not None else None
+
+    def micro_fn(params, acc, mb, k, train_frac):
+        (total, (losses, stats)), grads = grad_fn(params, mb, k, train_frac)
+        acc = jax.tree.map(jnp.add, acc, grads)
+        return acc, total, losses, stats
+
+    def update_fn(state, grads, totals, losses, stats):
+        inv = 1.0 / num_micro
+        grads = jax.tree.map(lambda g: g * inv, grads)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        new_state = state_lib.TrainState(
+            step=state.step + 1, params=params, opt_state=opt_state)
+        mean = lambda t: jax.tree.map(lambda x: x * inv, t)
+        out_stats = dict(mean(stats), loss=totals * inv,
+                         losses=mean(losses))
+        return new_state, out_stats
+
+    if mesh is None:
+        micro_jit = jax.jit(micro_fn, donate_argnums=(1,))
+        update_jit = jax.jit(
+            update_fn,
+            donate_argnums=(0, 1) if config.donate_train_state else (1,))
+    else:
+        micro_jit = jax.jit(micro_fn,
+                            in_shardings=(repl, repl, data, repl, repl),
+                            donate_argnums=(1,))
+        update_jit = jax.jit(
+            update_fn,
+            donate_argnums=(0, 1) if config.donate_train_state else (1,))
+
+    def train_step(state, batch, key, train_frac):
+        micro = jax.tree.map(
+            lambda x: x.reshape((num_micro, x.shape[0] // num_micro)
+                                + x.shape[1:]), batch)
+        keys = jax.random.split(key, num_micro)
+        acc = jax.tree.map(jnp.zeros_like, state.params)
+        totals = jnp.zeros(())
+        losses_acc = None
+        stats_acc = None
+        for i in range(num_micro):
+            mb = jax.tree.map(lambda x: x[i], micro)
+            acc, total, losses, stats = micro_jit(state.params, acc, mb,
+                                                  keys[i], train_frac)
+            totals = totals + total
+            if losses_acc is None:
+                losses_acc, stats_acc = losses, stats
+            else:
+                losses_acc = jax.tree.map(jnp.add, losses_acc, losses)
+                stats_acc = jax.tree.map(jnp.add, stats_acc, stats)
+        return update_jit(state, acc, totals, losses_acc, stats_acc)
+
+    return train_step
 
 
 def make_eval_step(model: UCNeRFModel, config: Config, mesh=None,
