@@ -24,6 +24,9 @@ def main():
     parser.add_argument("--warmup", type=int, default=3)
     parser.add_argument("--binding", "-b", action="append", default=[],
                         help="config override, e.g. 'Config.microbatches = 4'")
+    parser.add_argument("--preset", default="waymo_tpu",
+                        help="waymo_tpu (flagship, default) | waymo "
+                             "(reference-exact hex encoding)")
     args = parser.parse_args()
 
     import jax
@@ -34,7 +37,7 @@ def main():
     from ucnerf_tpu.train import state as state_lib
     from ucnerf_tpu.train import step as step_lib
 
-    cfg = configs.waymo(batch_size=args.batch_size)
+    cfg = configs._PRESETS[args.preset](batch_size=args.batch_size)
     cfg = configs.parse_bindings(cfg, args.binding)
     model, params = step_lib.init_model(cfg, jax.random.PRNGKey(0))
     state = state_lib.create_train_state(cfg, params)

@@ -14,7 +14,7 @@ def _oracle_encode(x, table, spec):
     x01 = (np.asarray(x, np.float64) + 1) / 2
     n = x01.shape[0]
     out = np.zeros((n, spec.num_levels, spec.level_dim), np.float64)
-    table = np.asarray(table, np.float64).reshape(-1, spec.level_dim)
+    table = np.asarray(table, np.float64).T  # [C, T] planar -> [T, C]
     for l in range(spec.num_levels):
         scale = np.float32(spec.cuda_scales[l])
         res = spec.cuda_resolutions[l]
@@ -107,17 +107,17 @@ def test_encode_grad_table_matches_oracle(rng):
 
     # Oracle scatter: numeric accumulation of the same weights.
     eps = 1e-3
-    gnp = np.asarray(g).reshape(-1, spec.level_dim)
+    gnp = np.asarray(g).T  # [T, C]
     nonzero_rows = np.nonzero(np.abs(gnp).sum(-1) > 0)[0]
     assert len(nonzero_rows) > 0
     # Spot-check a few rows with finite differences.
-    tb = np.asarray(table)
+    tb = np.asarray(table)  # [C, T] planar
     for row in nonzero_rows[:5]:
         tb_p = tb.copy()
-        tb_p[row * spec.level_dim] += eps
+        tb_p[0, row] += eps
         f_p = float(_oracle_encode(np.asarray(x), tb_p, spec).sum())
         tb_m = tb.copy()
-        tb_m[row * spec.level_dim] -= eps
+        tb_m[0, row] -= eps
         f_m = float(_oracle_encode(np.asarray(x), tb_m, spec).sum())
         fd = (f_p - f_m) / (2 * eps)
         np.testing.assert_allclose(gnp[row, 0], fd, rtol=1e-3, atol=1e-4)
@@ -136,7 +136,7 @@ def test_hash_decay_means(rng):
     spec = small_spec()
     table = hashgrid.init_table(jax.random.PRNGKey(4), spec)
     means = np.asarray(hashgrid.hash_decay_means(table, spec))
-    tb = np.asarray(table).reshape(-1, spec.level_dim)
+    tb = np.asarray(table).T  # [T, C]
     for l in range(spec.num_levels):
         lo, hi = spec.offsets[l], spec.offsets[l + 1]
         np.testing.assert_allclose(means[l], (tb[lo:hi] ** 2).mean(),

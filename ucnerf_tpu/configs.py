@@ -51,6 +51,10 @@ class MLPConfig:
     disable_rgb: bool = False
     warp_fn: Optional[str] = "contract"
     scale_featurization: bool = False
+    # TPU-efficiency knob: query the hash grid once per sample at the hex
+    # mean (modulated by the mean erf weight) instead of per hex point — 6x
+    # fewer table lookups; the reference encodes all 6 points.
+    hex_single_query: bool = False
     num_glo_features: int = 0
     num_glo_embeddings: int = 1000
     net_width_glo: int = 128
@@ -214,6 +218,21 @@ def waymo(**overrides) -> Config:
     return dataclasses.replace(base, **overrides)
 
 
+def waymo_tpu(**overrides) -> Config:
+    """The TPU-optimized flagship: canonical Waymo architecture (same model
+    capacity, sampling counts, grid sizes, losses) with the TPU-efficiency
+    knobs on — single-query hex encoding (6x fewer table lookups) and
+    host-driven microbatches (short device programs)."""
+    base = waymo(
+        host_microbatches=True,
+        nerf_mlp=MLPConfig(disable_density_normals=True,
+                           hex_single_query=True),
+        prop_mlp=MLPConfig(disable_rgb=True, disable_density_normals=True,
+                           hex_single_query=True),
+    )
+    return dataclasses.replace(base, **overrides)
+
+
 def tiny(**overrides) -> Config:
     """CPU-runnable smoke config: tiny grids, few samples, small batches."""
     base = Config(
@@ -244,7 +263,8 @@ def tiny(**overrides) -> Config:
     return dataclasses.replace(base, **overrides)
 
 
-_PRESETS = {"waymo": waymo, "tiny": tiny, "default": Config}
+_PRESETS = {"waymo": waymo, "waymo_tpu": waymo_tpu, "tiny": tiny,
+            "default": Config}
 
 
 def parse_bindings(config: Config, bindings: Sequence[str]) -> Config:

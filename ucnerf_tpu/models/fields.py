@@ -135,6 +135,8 @@ class ZipMLP(nn.Module):
             means = means / bound
             stds = stds / bound
         x01 = (means.reshape(3, 6, m) + 1.0) / 2.0
+        if cfg.hex_single_query:
+            x01 = x01.mean(axis=1, keepdims=True)  # [3, 1, M]
         feats, wmeans = hashgrid.encode_hex_cm(
             x01, stds.reshape(6, m), self.table, self.grid_spec)
         if cfg.scale_featurization:

@@ -118,13 +118,15 @@ def init_table(key: jax.Array, spec: HashGridSpec,
                dtype=jnp.float32) -> jax.Array:
     """Initialize the packed embedding table, U(-init_std, init_std).
 
-    Stored FLAT as [rows * level_dim] (row-major): any [rows, C<128] 2-D view
-    of a multi-million-row table gets lane-padded 32x by the TPU tiled layout
-    (7+ GB per copy at canonical scale); every consumer (gather, decay stats)
-    operates on flat slices instead.
+    Stored CHANNEL-PLANAR as [C, rows]: the huge row axis sits on the TPU
+    lanes (only the C axis pads 4->8 sublanes, a 2x cost), a single
+    axis-1 gather fetches all C channels of a row (5x faster than
+    per-channel scalar gathers, measured), and a [rows, C<128] layout —
+    which would lane-pad 32x (7+ GB per copy at canonical scale) — never
+    exists.
     """
     return jax.random.uniform(
-        key, (spec.table_rows * spec.level_dim,), dtype=dtype,
+        key, (spec.level_dim, spec.table_rows), dtype=dtype,
         minval=-spec.init_std, maxval=spec.init_std)
 
 
@@ -172,7 +174,6 @@ def encode_level(x01, table, spec: HashGridSpec, level: int):
     Returns:
       [N, C] features.
     """
-    table = table.reshape(-1, spec.level_dim)
     scale = np.float32(spec.cuda_scales[level])
     oob = jnp.any((x01 < 0) | (x01 > 1), axis=-1)
     xs = jnp.clip(x01, 0.0, 1.0)
@@ -195,7 +196,7 @@ def encode_level(x01, table, spec: HashGridSpec, level: int):
                 corner_pos.append(pos_grid[..., d])
         corner_pos = jnp.stack(corner_pos, axis=-1)
         idx = _corner_index(spec, level, corner_pos) + level_offset
-        rows = jnp.take(table, idx.astype(jnp.int32), axis=0)
+        rows = jnp.take(table, idx.astype(jnp.int32), axis=1).T  # [N, C]
         acc = acc + w[..., None] * rows
     return jnp.where(oob[..., None], 0.0, acc)
 
@@ -247,6 +248,12 @@ def encode_hex_cm(x01, stds, table, spec: HashGridSpec, grid_sizes=None,
                   accum_dtype=jnp.float32):
     """Channel-major hash encode with erf weighting + hex-mean folded in.
 
+    The hex axis of x01 may have size 1 ("single-query" mode): the grid is
+    looked up once per sample at the hex-mean position and modulated by the
+    mean erf weight over the 6 multisample stds — a 6x lookup reduction that
+    keeps the scale-dependent anti-aliasing term (a TPU-efficiency
+    approximation of models.py:494-496; the reference encodes all 6 points).
+
     The TPU-native hot path: every tensor it touches keeps the large point
     axis minormost (lane dimension), so nothing suffers the 21x lane padding
     that a [..., 6]- or [..., 4]-trailing layout incurs.  Semantically equals
@@ -259,7 +266,7 @@ def encode_hex_cm(x01, stds, table, spec: HashGridSpec, grid_sizes=None,
         (M = rays*samples).
       stds: [6, M] per-multisample Gaussian stds in the SAME normalized frame
         as x01 (callers divide by the contraction bound before this).
-      table: [rows * C] FLAT packed table (see init_table).
+      table: [C, rows] channel-planar packed table (see init_table).
       grid_sizes: optional [L] float resolutions for the erf weight; defaults
         to spec.resolutions.  Pass None for stds to skip weighting.
 
@@ -271,12 +278,12 @@ def encode_hex_cm(x01, stds, table, spec: HashGridSpec, grid_sizes=None,
     del accum_dtype
     if grid_sizes is None:
         grid_sizes = np.asarray(spec.resolutions, np.float32)
-    tab_flat = table
     c_dim = spec.level_dim
+    hex_n = x01.shape[1]
     m = x01.shape[-1]
 
     oob = ((x01[0] < 0) | (x01[0] > 1) | (x01[1] < 0) | (x01[1] > 1)
-           | (x01[2] < 0) | (x01[2] > 1))
+           | (x01[2] < 0) | (x01[2] > 1))  # [H, M]
     xs = jnp.clip(x01, 0.0, 1.0)
 
     feats = []
@@ -293,12 +300,11 @@ def encode_hex_cm(x01, stds, table, spec: HashGridSpec, grid_sizes=None,
                 1.0 / jnp.sqrt(8.0 * stds**2
                                * np.float32(grid_sizes[level]) ** 2))
         else:
-            w_erf = jnp.ones((6, m), x01.dtype)
-        w_valid = jnp.where(oob, 0.0, w_erf)  # zero oob contributions
+            w_erf = jnp.ones((hex_n, m), x01.dtype)
 
-        accs = [jnp.zeros((6, m), table.dtype) for _ in range(c_dim)]
+        acc = jnp.zeros((c_dim, hex_n, m), table.dtype)
         for corner in range(8):
-            w = jnp.ones((6, m), x01.dtype)
+            w = jnp.ones((hex_n, m), x01.dtype)
             comps = []
             for d in range(3):
                 if corner & (1 << d):
@@ -308,14 +314,21 @@ def encode_hex_cm(x01, stds, table, spec: HashGridSpec, grid_sizes=None,
                     w = w * (1 - frac[d])
                     comps.append(pg[d])
             idx = _corner_index_components(spec, level, *comps)
-            base = (idx.astype(jnp.int32)
-                    + np.int32(spec.offsets[level])) * np.int32(c_dim)
-            for c in range(c_dim):
-                accs[c] = accs[c] + w * jnp.take(tab_flat, base + c)
-        for c in range(c_dim):
-            feats.append((accs[c] * w_valid).mean(axis=0))
+            gidx = idx.astype(jnp.int32) + np.int32(spec.offsets[level])
+            # One planar gather fetches all C channels: [C, H, M].
+            rows = jnp.take(table, gidx, axis=1)
+            acc = acc + w[None] * rows
+        if hex_n == w_erf.shape[0]:
+            # Hex mode: per-point erf weights, mean over the hex axis.
+            w_valid = jnp.where(oob, 0.0, w_erf)
+            feats.append((acc * w_valid[None]).mean(axis=1))  # [C, M]
+        else:
+            # Single-query mode: one lookup at the hex-mean position,
+            # modulated by the mean erf weight over the multisample stds.
+            w_single = jnp.where(oob[0], 0.0, w_erf.mean(axis=0))
+            feats.append(acc[:, 0] * w_single[None])
         wmeans.append(w_erf.mean(axis=0))
-    return jnp.stack(feats, axis=0), jnp.stack(wmeans, axis=0)
+    return jnp.concatenate(feats, axis=0), jnp.stack(wmeans, axis=0)
 
 
 def hash_decay_means(table, spec: HashGridSpec):
@@ -326,21 +339,18 @@ def hash_decay_means(table, spec: HashGridSpec):
     compile-time constants, so this is a handful of rank-1 reductions
     (mean over a level's rows x channels == mean over its flat slice).
     """
-    c = spec.level_dim
     means = []
     for l in range(spec.num_levels):
-        lo, hi = spec.offsets[l] * c, spec.offsets[l + 1] * c
-        means.append(jnp.mean(table[lo:hi] ** 2))
+        lo, hi = spec.offsets[l], spec.offsets[l + 1]
+        means.append(jnp.mean(table[:, lo:hi] ** 2))
     return jnp.stack(means)
 
 
 def level_sq_means(table, spec: HashGridSpec):
     """Per-level mean over rows of sum_c emb^2: [L].  Used by the
-    scale-featurization path (models.py:497-506).  On the flat table this is
-    mean(flat^2) * C."""
-    c = spec.level_dim
+    scale-featurization path (models.py:497-506)."""
     means = []
     for l in range(spec.num_levels):
-        lo, hi = spec.offsets[l] * c, spec.offsets[l + 1] * c
-        means.append(jnp.mean(table[lo:hi] ** 2) * c)
+        lo, hi = spec.offsets[l], spec.offsets[l + 1]
+        means.append(jnp.mean(jnp.sum(table[:, lo:hi] ** 2, axis=0)))
     return jnp.stack(means)
