@@ -173,3 +173,43 @@ def test_grad_scaler():
     np.testing.assert_allclose(np.asarray(g_rgb),
                                np.tile(expect[None], (3, 1, 1)),
                                rtol=1e-6)
+
+
+def test_zipmlp_glo_path():
+    """GLO vectors modulate the bottleneck (models.py:607-615), channel-major."""
+    import dataclasses as dc
+    cfg = dc.replace(configs.tiny().nerf_mlp, num_glo_features=4)
+    from ucnerf_tpu.models.fields import ZipMLP
+    mlp = ZipMLP(cfg)
+    means = jnp.zeros((3, 6, 8, 4))
+    stds = jnp.full((6, 8, 4), 0.05)
+    vd = jnp.ones((8, 3))
+    glo = jnp.ones((8, 4))
+    params = mlp.init(jax.random.PRNGKey(0), None, means, stds, viewdirs=vd,
+                      glo_vec=glo)
+    out1 = mlp.apply(params, None, means, stds, viewdirs=vd, glo_vec=glo)
+    out2 = mlp.apply(params, None, means, stds, viewdirs=vd,
+                     glo_vec=2.0 * glo)
+    assert out1["rgb"].shape == (3, 8, 4)
+    assert np.all(np.isfinite(np.asarray(out1["rgb"])))
+    # Different GLO vectors change the output.
+    assert np.abs(np.asarray(out1["rgb"]) - np.asarray(out2["rgb"])).max() > 0
+
+
+def test_zipmlp_pred_normals_path():
+    """enable_pred_normals emits unit normals (models.py:569-578)."""
+    import dataclasses as dc
+    cfg = dc.replace(configs.tiny().nerf_mlp, enable_pred_normals=True)
+    from ucnerf_tpu.models.fields import ZipMLP
+    mlp = ZipMLP(cfg)
+    means = jax.random.normal(jax.random.PRNGKey(1), (3, 6, 8, 4))
+    stds = jnp.full((6, 8, 4), 0.05)
+    vd = jnp.ones((8, 3))
+    params = mlp.init(jax.random.PRNGKey(0), None, means, stds, viewdirs=vd)
+    out = mlp.apply(params, None, means, stds, viewdirs=vd)
+    n = np.asarray(out["normals_pred"])
+    assert n.shape == (3, 8, 4)
+    norms = np.linalg.norm(n, axis=0)
+    # Unit length up to the eps clamp (near-zero predictions normalize short).
+    assert np.all(norms <= 1 + 1e-4)
+    assert np.median(norms) > 0.99

@@ -55,6 +55,9 @@ class MLPConfig:
     # mean (modulated by the mean erf weight) instead of per hex point — 6x
     # fewer table lookups; the reference encodes all 6 points.
     hex_single_query: bool = False
+    # Matmul precision for the field's dense layers: None (float32) or
+    # 'bfloat16' (MXU bf16 with f32 accumulation; params stay f32).
+    compute_dtype: Optional[str] = None
     num_glo_features: int = 0
     num_glo_embeddings: int = 1000
     net_width_glo: int = 128

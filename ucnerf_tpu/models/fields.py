@@ -54,17 +54,24 @@ class DenseCM(nn.Module):
     """Dense layer over channel-major activations: [in, N] -> [out, N].
 
     Stores the kernel as [in, out] (identical pytree to nn.Dense) and
-    contracts the leading axis, keeping N on the TPU lanes."""
+    contracts the leading axis, keeping N on the TPU lanes.  With
+    compute_dtype=bfloat16 the matmul runs on the MXU's bf16 path with f32
+    accumulation (params stay f32)."""
     features: int
     kernel_init: any = torch_linear_init
     bias_init: any = nn.initializers.zeros
+    compute_dtype: any = None
 
     @nn.compact
     def __call__(self, x):
         kernel = self.param("kernel", self.kernel_init,
                             (x.shape[0], self.features))
         bias = self.param("bias", self.bias_init, (self.features,))
-        y = jnp.einsum("io,i...->o...", kernel, x)
+        if self.compute_dtype is not None:
+            kernel = kernel.astype(self.compute_dtype)
+            x = x.astype(self.compute_dtype)
+        y = jnp.einsum("io,i...->o...", kernel, x,
+                       preferred_element_type=jnp.float32)
         return y + bias.reshape((self.features,) + (1,) * (y.ndim - 1))
 
 
@@ -78,6 +85,8 @@ class ZipMLP(nn.Module):
 
     def setup(self):
         cfg = self.config
+        self._cdtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+                        else None)
         self.grid_spec = hashgrid.HashGridSpec(
             input_dim=3,
             num_levels=cfg.grid_num_levels,
@@ -90,9 +99,11 @@ class ZipMLP(nn.Module):
         self.table = self.param(
             "table",
             lambda key: hashgrid.init_table(key, self.grid_spec))
-        self.density_hidden = DenseCM(64, name="density_hidden")
+        self.density_hidden = DenseCM(64, name="density_hidden",
+                              compute_dtype=self._cdtype)
         out_width = 1 if cfg.disable_rgb else cfg.bottleneck_width
-        self.density_out = DenseCM(out_width, name="density_out")
+        self.density_out = DenseCM(out_width, name="density_out",
+                           compute_dtype=self._cdtype)
 
         if cfg.enable_pred_normals:
             self.normal_layer = DenseCM(3, name="normal_layer")
@@ -112,9 +123,11 @@ class ZipMLP(nn.Module):
                 view_layers.append(
                     DenseCM(cfg.net_width_viewdirs,
                             name=f"lin_second_stage_{i}",
-                            kernel_init=kaiming_uniform_init))
+                            kernel_init=kaiming_uniform_init,
+                            compute_dtype=self._cdtype))
             self.view_layers = view_layers
-            self.rgb_layer = DenseCM(cfg.num_rgb_channels, name="rgb_layer")
+            self.rgb_layer = DenseCM(cfg.num_rgb_channels, name="rgb_layer",
+                         compute_dtype=self._cdtype)
 
     def encode_features(self, means, stds):
         """Warp, hash-encode, erf-downweight, hex-average (channel-major).
