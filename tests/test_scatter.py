@@ -28,7 +28,7 @@ def test_scatter_matches_f64_oracle(c, m, rows):
     got = scatter.scatter_add_cm(jnp.asarray(vals), jnp.asarray(idx), rows,
                                  interpret=True)
     np.testing.assert_allclose(np.asarray(got), _oracle(vals, idx, rows),
-                               atol=1e-5, rtol=1e-5)
+                               atol=5e-5, rtol=5e-5)
 
 
 def test_scatter_degenerate_all_one_row():
@@ -70,7 +70,7 @@ def test_gather_rows_vjp_matches_xla_autodiff():
         rng.normal(size=(c, 5, 7, 64)).astype(np.float32))
 
     def f_custom(t):
-        return hashgrid._gather_rows(rows, t, gidx)
+        return hashgrid._gather_rows(rows, 1, None, t, gidx)
 
     def f_plain(t):
         return jnp.take(t, gidx, axis=1)
@@ -117,3 +117,18 @@ def test_encode_hex_cm_grad_pallas_vs_xla():
         hashgrid.SCATTER_IMPL = old
     np.testing.assert_allclose(np.asarray(g_pallas), np.asarray(g_xla),
                                atol=1e-5, rtol=1e-4)
+
+
+def test_scatter_segmented_sort():
+    """Per-segment sorting (increasing segment index ranges) == flat."""
+    rng = np.random.default_rng(4)
+    c, rows, nseg, per = 2, 4000, 4, 750
+    # Segment s's indices live in [s*1000, s*1000+999] — increasing ranges.
+    idx = np.concatenate([
+        rng.integers(s * 1000, s * 1000 + 1000, per) for s in range(nseg)
+    ]).astype(np.int32)
+    vals = rng.normal(size=(c, nseg * per)).astype(np.float32)
+    got = scatter.scatter_add_cm(jnp.asarray(vals), jnp.asarray(idx), rows,
+                                 interpret=True, sort_segments=nseg)
+    np.testing.assert_allclose(np.asarray(got), _oracle(vals, idx, rows),
+                               atol=5e-5, rtol=5e-5)

@@ -55,6 +55,10 @@ class MLPConfig:
     # mean (modulated by the mean erf weight) instead of per hex point — 6x
     # fewer table lookups; the reference encodes all 6 points.
     hex_single_query: bool = False
+    # Cast the hash table to bfloat16 for the gather: TPU gathers read a
+    # full 128-lane tile per index, so this halves the dominant HBM traffic.
+    # Features round to bf16 (~0.4% rel); table GRADIENTS stay exact f32.
+    grid_bf16_gather: bool = False
     # Matmul precision for the field's dense layers: None (float32) or
     # 'bfloat16' (MXU bf16 with f32 accumulation; params stay f32).
     compute_dtype: Optional[str] = None

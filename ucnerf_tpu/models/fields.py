@@ -151,7 +151,8 @@ class ZipMLP(nn.Module):
         if cfg.hex_single_query:
             x01 = x01.mean(axis=1, keepdims=True)  # [3, 1, M]
         feats, wmeans = hashgrid.encode_hex_cm(
-            x01, stds.reshape(6, m), self.table, self.grid_spec)
+            x01, stds.reshape(6, m), self.table, self.grid_spec,
+            gather_dtype=jnp.bfloat16 if cfg.grid_bf16_gather else None)
         if cfg.scale_featurization:
             vl2mean = jax.lax.stop_gradient(
                 hashgrid.level_sq_means(self.table, self.grid_spec))

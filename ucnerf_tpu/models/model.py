@@ -40,8 +40,14 @@ class UCNeRFModel(nn.Module):
         # Remat the field MLPs: the per-level encode+MLP intermediates are
         # recomputed in the backward pass instead of living across the whole
         # step (jax.checkpoint; replaces nothing in the reference — torch
-        # keeps all activations and pays in HBM).
-        field_cls = nn.remat(ZipMLP) if cfg.remat_fields else ZipMLP
+        # keeps all activations and pays in HBM).  The hash-table gather is
+        # excluded from rematerialization (save_only_these_names): re-running
+        # a multi-million-row random HBM gather costs ~100ms/microbatch on
+        # v5e while its output is only ~40-60MB.
+        remat_policy = jax.checkpoint_policies.save_only_these_names(
+            "hashgrid_gather")
+        field_cls = (nn.remat(ZipMLP, policy=remat_policy)
+                     if cfg.remat_fields else ZipMLP)
         self.nerf_mlp = field_cls(cfg.nerf_mlp, name="nerf_mlp")
         prop_mlps = []
         for i in range(mcfg.num_levels - 1):

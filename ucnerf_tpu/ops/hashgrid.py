@@ -28,6 +28,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.ad_checkpoint import checkpoint_name
 
 from ucnerf_tpu.ops import scatter
 
@@ -45,31 +46,46 @@ def _use_pallas_scatter() -> bool:
     return SCATTER_IMPL.startswith("pallas")
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _gather_rows(num_rows: int, table, gidx):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _gather_rows(num_rows: int, sort_segments: int, gather_dtype, table,
+                 gidx):
     """Gather table columns: [C, rows], [...] int32 -> [C, ...].
 
     Forward is XLA's native gather (fast on TPU).  The custom VJP replaces
     the transpose — XLA's serial scatter-add, ~85 ns/update on v5e — with the
     sort-based Pallas kernel in ``ops/scatter.py`` (the reference's CUDA
     ``atomicAdd`` backward, gridencoder.cu:249-340, rebuilt TPU-native).
+
+    sort_segments: number of equal leading-axis segments of gidx whose index
+    ranges are increasing (per-level slices of the packed table); the
+    backward sorts each independently.
+
+    gather_dtype: optional dtype (e.g. bfloat16) the table is cast to BEFORE
+    the gather.  TPU's gather reads a full (sublane, 128)-lane tile per
+    index, so halving the element size halves the dominant HBM traffic.
+    The cast lives inside this custom-vjp boundary: features are rounded,
+    but table gradients are still scattered in exact f32.
     """
-    del num_rows
+    del num_rows, sort_segments
+    if gather_dtype is not None:
+        table = table.astype(gather_dtype)
     return jnp.take(table, gidx, axis=1)
 
 
-def _gather_rows_fwd(num_rows, table, gidx):
-    return jnp.take(table, gidx, axis=1), gidx
+def _gather_rows_fwd(num_rows, sort_segments, gather_dtype, table, gidx):
+    return _gather_rows(num_rows, sort_segments, gather_dtype, table,
+                        gidx), gidx
 
 
-def _gather_rows_bwd(num_rows, gidx, g):
+def _gather_rows_bwd(num_rows, sort_segments, gather_dtype, gidx, g):
     c = g.shape[0]
-    flat_g = g.reshape(c, -1)
+    flat_g = g.reshape(c, -1).astype(jnp.float32)
     flat_idx = gidx.reshape(-1)
     if _use_pallas_scatter():
         interp = SCATTER_IMPL == "pallas_interpret"
         dtable = scatter.scatter_add_cm(flat_g, flat_idx, num_rows,
-                                        interpret=interp)
+                                        interpret=interp,
+                                        sort_segments=sort_segments)
     else:
         dtable = scatter.scatter_add_xla(flat_g, flat_idx, num_rows)
     return dtable, np.zeros(gidx.shape, jax.dtypes.float0)
@@ -290,7 +306,7 @@ def _corner_index_components(spec: HashGridSpec, level: int, cx, cy, cz):
 
 
 def encode_hex_cm(x01, stds, table, spec: HashGridSpec, grid_sizes=None,
-                  accum_dtype=jnp.float32):
+                  accum_dtype=jnp.float32, gather_dtype=None):
     """Channel-major hash encode with erf weighting + hex-mean folded in.
 
     The hex axis of x01 may have size 1 ("single-query" mode): the grid is
@@ -370,7 +386,11 @@ def encode_hex_cm(x01, stds, table, spec: HashGridSpec, grid_sizes=None,
 
     gidx_all = jnp.stack(gidx_parts, axis=0)        # [L*8, H, M] int32
     w_all = jnp.stack(w_parts, axis=0)              # [L*8, H, M]
-    rows_all = _gather_rows(spec.table_rows, table, gidx_all)  # [C, L*8, H, M]
+    rows_all = _gather_rows(spec.table_rows, spec.num_levels, gather_dtype,
+                            table, gidx_all)  # [C, L*8, H, M]
+    # Named so the remat policy keeps this (the expensive random HBM gather)
+    # instead of recomputing it in the backward pass.
+    rows_all = checkpoint_name(rows_all, "hashgrid_gather")
     acc_all = jnp.sum(
         (rows_all * w_all[None]).reshape(
             c_dim, spec.num_levels, 8, hex_n, m),

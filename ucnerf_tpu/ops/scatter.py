@@ -8,15 +8,25 @@ the reference CUDA kernel's ``atomicAdd`` backward
 deterministic sort-based Pallas design (SURVEY.md §7 "hard parts"):
 
 1. Sort the (row-index, C-channel update) pairs by row index — XLA's bitonic
-   ``lax.sort`` is fast and fully vectorized on TPU (~ms at 10M elements).
+   ``lax.sort`` is fast and fully vectorized on TPU.
 2. ``searchsorted`` the table-tile boundaries in the sorted index stream —
    each tile of ``tile_rows`` rows owns a contiguous slice of updates.
-3. A Pallas kernel grids over table tiles.  Each step DMAs its K-element
-   update blocks from HBM, builds a one-hot [tile_rows, K] matrix on the VPU,
-   and accumulates ``val @ onehot^T`` on the MXU into the VMEM-resident
-   output tile.  Duplicate indices sum exactly (multiple one-hot columns hit
-   the same row); summation order is fixed by the sort — bitwise
-   deterministic, unlike the reference's atomics.
+3. A Pallas kernel grids over table tiles.  Each step double-buffers DMAs of
+   its K-element update blocks from HBM and accumulates them into the
+   VMEM-resident output tile via a FACTORED one-hot contraction: the local
+   row index splits as ``local = hi * 128 + lo``; update block
+   ``A[(c,hi), k] = val[c,k] * (hi_k == hi)`` contracts with
+   ``W[lo, k] = (lo_k == lo)`` on the MXU, giving ``out2[(c,hi), lo]``.
+   The factoring keeps the matmul at full MXU width (C*tile/128 x K x 128)
+   instead of a C-row-thin [C, K] x [K, tile] product — ~10x fewer MXU
+   cycles at C=4, and the VPU compare cost drops from K*tile to
+   K*(tile/128 + 128) per block.
+
+Duplicate indices sum exactly (multiple one-hot columns hit the same row);
+summation order is fixed by the sort — bitwise deterministic, unlike the
+reference's atomics.  Update values are split into two bf16 pieces for the
+MXU (hi + lo carries ~16 mantissa bits, relative error ~1e-5); one-hot
+entries are exact in bf16.
 
 The kernel touches every output tile exactly once, so HBM write traffic is
 one pass over the gradient table; update blocks stream at DMA bandwidth.
@@ -32,74 +42,130 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_LANE = 128
+
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
 def _scatter_kernel(blk_lo_ref, nblk_ref, sidx_ref, sval_ref, out_ref,
-                    idx_buf, val_buf, idx_sem, val_sem,
-                    *, block_k: int, tile_rows: int):
-    """One table tile: DMA sorted-update blocks, one-hot matmul accumulate."""
+                    idx_buf, val_buf, acc, idx_sem, val_sem,
+                    *, block_k: int, tile_rows: int, channels: int):
+    """One table tile: stream sorted-update blocks, factored one-hot MXU."""
     t = pl.program_id(0)
-    out_ref[...] = jnp.zeros_like(out_ref)
-    lo = blk_lo_ref[t]
+    r_hi = tile_rows // _LANE
+    acc[...] = jnp.zeros_like(acc)
+    lo_blk = blk_lo_ref[t]
     n = nblk_ref[t]
     row0 = t * tile_rows
 
-    def body(b, carry):
-        start = (lo + b) * block_k
+    def get_dmas(slot, b):
+        start = (lo_blk + b) * block_k
         cp_i = pltpu.make_async_copy(
-            sidx_ref.at[:, pl.ds(start, block_k)], idx_buf, idx_sem)
+            sidx_ref.at[:, pl.ds(start, block_k)], idx_buf.at[slot],
+            idx_sem.at[slot])
         cp_v = pltpu.make_async_copy(
-            sval_ref.at[:, pl.ds(start, block_k)], val_buf, val_sem)
+            sval_ref.at[:, pl.ds(start, block_k)], val_buf.at[slot],
+            val_sem.at[slot])
+        return cp_i, cp_v
+
+    @pl.when(n > 0)
+    def _():
+        cp_i, cp_v = get_dmas(0, 0)
         cp_i.start()
         cp_v.start()
-        cp_i.wait()
-        cp_v.wait()
-        local = idx_buf[...] - row0                      # [1, K]
-        riota = jax.lax.broadcasted_iota(
-            jnp.int32, (tile_rows, block_k), 0)          # [R, K]
-        onehot = (riota == local).astype(jnp.float32)    # bcast [1,K] -> [R,K]
-        # HIGHEST: the MXU's bf16 multi-pass f32 emulation — a single-pass
-        # bf16 matmul would round the updates to 8 mantissa bits (0.4%
-        # relative gradient error, measured); one-hot entries are exact
-        # either way.
-        contrib = jax.lax.dot_general(
-            val_buf[...], onehot,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)          # [C, R]
-        out_ref[...] += contrib
-        return carry
 
-    jax.lax.fori_loop(0, n, body, 0)
+        def body(b, carry):
+            slot = jax.lax.rem(b, 2)
+
+            @pl.when(b + 1 < n)
+            def _():
+                ni, nv = get_dmas(jax.lax.rem(b + 1, 2), b + 1)
+                ni.start()
+                nv.start()
+
+            cp_i, cp_v = get_dmas(slot, b)
+            cp_i.wait()
+            cp_v.wait()
+
+            local = idx_buf[slot] - row0                  # [1, K]
+            hi = jax.lax.shift_right_arithmetic(local, 7)  # [1, K]
+            lo = jax.lax.bitwise_and(local, _LANE - 1)
+            # Out-of-tile entries (block overlap at tile boundaries and the
+            # sentinel padding) have hi outside [0, r_hi) -> zero A column.
+            hi_iota = jax.lax.broadcasted_iota(
+                jnp.int32, (r_hi, block_k), 0)
+            hmask = (hi_iota == hi)                       # [r_hi, K]
+            lo_iota = jax.lax.broadcasted_iota(
+                jnp.int32, (_LANE, block_k), 0)
+            w2 = (lo_iota == lo).astype(jnp.bfloat16)     # [128, K]
+
+            vals = val_buf[slot]                          # [C, K] f32
+            a = jnp.where(hmask[None], vals[:, None, :], 0.0)
+            a = a.reshape(channels * r_hi, block_k)       # [C*r_hi, K]
+            # Two-pass bf16 split: exact one-hot x (hi + lo mantissa halves).
+            a_hi = a.astype(jnp.bfloat16)
+            a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            dims = (((1,), (1,)), ((), ()))
+            out2 = jax.lax.dot_general(
+                a_hi, w2, dims, preferred_element_type=jnp.float32)
+            out2 += jax.lax.dot_general(
+                a_lo, w2, dims, preferred_element_type=jnp.float32)
+            acc[...] += out2.reshape(channels, r_hi * _LANE)
+            return carry
+
+        jax.lax.fori_loop(0, n, body, 0)
+
+    out_ref[...] = acc[...]
 
 
 @functools.partial(jax.jit, static_argnames=("num_rows", "tile_rows",
-                                             "block_k", "interpret"))
-def scatter_add_cm(values, idx, num_rows: int, *, tile_rows: int = 1024,
-                   block_k: int = 512, interpret: bool = False):
+                                             "block_k", "interpret",
+                                             "sort_segments"))
+def scatter_add_cm(values, idx, num_rows: int, *, tile_rows: int = 4096,
+                   block_k: int = 1024, interpret: bool = False,
+                   sort_segments: int = 1):
     """Deterministic scatter-add: out[:, idx[m]] += values[:, m].
 
     Args:
       values: [C, M] float32 updates (channel-major).
       idx: [M] int32 row indices in [0, num_rows).
       num_rows: static output column count.
-      tile_rows: rows per output tile (VMEM-resident accumulator width).
+      tile_rows: rows per output tile (VMEM accumulator; multiple of 128).
       block_k: updates per DMA/matmul block.
       interpret: run the Pallas kernel in interpreter mode (CPU testing).
+      sort_segments: split the stream into this many equal contiguous
+        segments and sort each independently.  ONLY valid when every index
+        in segment s is < every index in segment s+1 (e.g. per-level slices
+        of a packed hash table, where level row offsets are increasing) —
+        the concatenation of per-segment sorted streams is then globally
+        sorted, and S smaller bitonic sorts beat one big one (~2x measured).
 
     Returns:
       [C, num_rows] float32.
     """
     c, m = values.shape
+    assert tile_rows % _LANE == 0
     rows_pad = _round_up(num_rows, tile_rows)
     num_tiles = rows_pad // tile_rows
 
-    # 1) Sort by row index, channels as payloads (single fused bitonic sort).
-    sorted_all = jax.lax.sort((idx,) + tuple(values), dimension=0, num_keys=1)
-    sidx, svals = sorted_all[0], jnp.stack(sorted_all[1:], axis=0)
+    # 1) Sort by row index, channels as payloads (single fused bitonic sort;
+    # optionally segmented, see sort_segments).
+    if sort_segments > 1 and m % sort_segments == 0 and m > 0:
+        seg = m // sort_segments
+        parts = []
+        for s in range(sort_segments):
+            sl = slice(s * seg, (s + 1) * seg)
+            parts.append(jax.lax.sort(
+                (idx[sl],) + tuple(values[:, sl]), dimension=0, num_keys=1))
+        sidx = jnp.concatenate([p[0] for p in parts])
+        svals = jnp.concatenate(
+            [jnp.stack(p[1:], axis=0) for p in parts], axis=1)
+    else:
+        sorted_all = jax.lax.sort((idx,) + tuple(values), dimension=0,
+                                  num_keys=1)
+        sidx, svals = sorted_all[0], jnp.stack(sorted_all[1:], axis=0)
 
     # 2) Pad the stream to whole blocks; sentinel rows land beyond every tile.
     m_pad = _round_up(max(m, 1), block_k)
@@ -126,15 +192,16 @@ def scatter_add_cm(values, idx, num_rows: int, *, tile_rows: int = 1024,
         out_specs=pl.BlockSpec(
             (c, tile_rows), lambda t, *_: (0, t), memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((1, block_k), jnp.int32),
-            pltpu.VMEM((c, block_k), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, 1, block_k), jnp.int32),
+            pltpu.VMEM((2, c, block_k), jnp.float32),
+            pltpu.VMEM((c, tile_rows), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(
         functools.partial(_scatter_kernel, block_k=block_k,
-                          tile_rows=tile_rows),
+                          tile_rows=tile_rows, channels=c),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((c, rows_pad), jnp.float32),
         interpret=interpret,

@@ -44,17 +44,27 @@ def init_model(config: Config, key, example_batch=None):
 
 
 def dummy_batch(config: Config, n: int) -> Dict[str, jnp.ndarray]:
-    """A synthetic ray batch with the canonical layout."""
-    d = np.tile(np.array([[0.0, 0.0, 1.0]], np.float32), (n, 1))
+    """A synthetic ray batch with the canonical layout.
+
+    Rays are spatially diverse (random directions from a few camera
+    positions), matching real training batches: a degenerate all-identical
+    batch would concentrate every hash-table access on a handful of rows and
+    misrepresent gather/scatter costs on hardware.
+    """
+    rng = np.random.default_rng(0)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    origins = rng.uniform(-1.0, 1.0, size=(n, 3)).astype(np.float32)
     return {
-        "origins": np.zeros((n, 3), np.float32),
+        "origins": origins,
         "directions": d.copy(),
         "viewdirs": d.copy(),
         "cam_dirs": d.copy(),
         "radii": np.full((n, 1), 1e-3, np.float32),
         "near": np.full((n, 1), config.near, np.float32),
         "far": np.full((n, 1), config.far, np.float32),
-        "cam_idx": np.zeros((n,), np.int32),
+        "cam_idx": (rng.integers(0, max(config.training_views, 1), n)
+                    .astype(np.int32)),
         "lossmult": np.ones((n, 1), np.float32),
         "rgb": np.full((n, 3), 0.5, np.float32),
         "sky_segs": np.zeros((n,), np.float32),
