@@ -70,15 +70,45 @@ def test_brightness_starts_as_identity(tiny_setup):
 
 
 def test_eval_camidx_overrides_view(tiny_setup):
+    """eval_camidx must select which per-view brightness latent is applied.
+
+    At init latents and the output kernel are zero, so all views render
+    identically and a shape check cannot discriminate; perturb the latents
+    and the decoder's output kernel first so views produce distinct affines.
+    """
     cfg, model, params = tiny_setup
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(flax.core.unfreeze(params))
+    bumped = False
+    for path in list(flat):
+        if path[-1] == "latent_code":
+            rng = np.random.default_rng(hash(path) % (2**32))
+            flat[path] = jnp.asarray(
+                rng.normal(0, 1.0, flat[path].shape), jnp.float32)
+            bumped = True
+        if "output_linear" in path and path[-1] == "kernel":
+            rng = np.random.default_rng(7)
+            flat[path] = jnp.asarray(
+                rng.normal(0, 0.3, flat[path].shape), jnp.float32)
+    assert bumped, "no brightness latent_code found in params"
+    params = flax.traverse_util.unflatten_dict(flat)
+
     batch = _batch(cfg, 8)
     r_a, _ = model.apply({"params": params}, None, batch, 0.5, train=False,
                          eval_camidx=0)
     r_b, _ = model.apply({"params": params}, None, batch, 0.5, train=False,
                          eval_camidx=1)
-    # At init all latents are zero so the renders agree; shapes must hold.
-    assert np.asarray(r_a[-1]["rgb"]).shape == (8, 3)
-    assert np.asarray(r_b[-1]["rgb"]).shape == (8, 3)
+    rgb_a = np.asarray(r_a[-1]["rgb"])
+    rgb_b = np.asarray(r_b[-1]["rgb"])
+    assert rgb_a.shape == (8, 3)
+    # Different latents -> different affine -> renders must differ.
+    assert np.max(np.abs(rgb_a - rgb_b)) > 1e-5
+    # And the override must be honored: rendering with the same camidx
+    # twice must agree exactly.
+    r_a2, _ = model.apply({"params": params}, None, batch, 0.5, train=False,
+                          eval_camidx=0)
+    np.testing.assert_array_equal(rgb_a, np.asarray(r_a2[-1]["rgb"]))
 
 
 def test_all_losses_finite(tiny_setup):

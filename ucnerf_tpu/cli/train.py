@@ -135,9 +135,14 @@ def main(argv=None):
                 test_dataset.n_examples
             img_batch = test_dataset.image_batch(idx)
             t0 = time.time()
+            # Test-index -> training-latent remap for the brightness
+            # correction (reference train.py:332).
+            from ucnerf_tpu.cli.eval import _eval_camidx
             rendering = step_lib.render_image(
                 eval_step, state.params, img_batch, config,
-                train_frac=train_frac, eval_camidx=0, mesh=mesh)
+                train_frac=train_frac,
+                eval_camidx=_eval_camidx(config, idx, test_dataset.cam_num),
+                mesh=mesh)
             metrics = metric_harness(rendering["rgb"], img_batch["rgb"])
             logger.info("test render %d: psnr=%.2f ssim=%.3f (%.1fs)",
                         idx, metrics["psnr"], metrics["ssim"],

@@ -375,8 +375,12 @@ class WaymoV2Dataset(RayDataset):
     def _load_renderings(self, config: Config):
         from PIL import Image
 
-        self.width, self.height = getattr(self, "_size_override",
-                                          (1920, 1280))
+        # Native sensor size, downsampled by config.factor (the reference
+        # trains Waymo at factor 4 -> 480x320; nerf/internal/datasets.py:262-276
+        # and nerf/configs/waymo.gin:3).
+        native_w, native_h = getattr(self, "_size_override", (1920, 1280))
+        factor = max(int(config.factor), 1)
+        self.width, self.height = native_w // factor, native_h // factor
         cam_map = {1: ["cam_1"], 2: ["cam_2"], 3: ["cam_3"],
                    6: ["cam_1", "cam_2", "cam_3"],
                    7: ["cam_1", "cam_2", "cam_3", "cam_4", "cam_5"]}

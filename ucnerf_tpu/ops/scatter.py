@@ -186,8 +186,8 @@ def scatter_add_cm(values, idx, num_rows: int, *, tile_rows: int = 4096,
         num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (c, tile_rows), lambda t, *_: (0, t), memory_space=pltpu.VMEM),
