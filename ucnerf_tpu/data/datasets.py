@@ -414,13 +414,16 @@ class WaymoV2Dataset(RayDataset):
                 rgb_path = os.path.join(config.data_dir, "images", cam,
                                         f"{idx:08d}.jpg")
                 img = Image.open(rgb_path)
-                ow, oh = img.size
                 img = img.resize((self.width, self.height), Image.BILINEAR)
                 images.append(np.asarray(img, np.float32) / 255.0)
 
+                # scenario.pt intrinsics are calibrated for the NATIVE sensor
+                # resolution; rescale by target/native (the reference's
+                # factor handling, datasets.py:262-276) regardless of the
+                # stored jpg dimensions.
                 intr = np.array(intr_per_cam[cam_idx][idx], np.float64).copy()
-                intr[0, :] *= self.width / ow
-                intr[1, :] *= self.height / oh
+                intr[0, :] *= self.width / native_w
+                intr[1, :] *= self.height / native_h
                 intrinsics.append(intr)
 
                 if poses_json is None:

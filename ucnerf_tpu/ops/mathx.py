@@ -105,11 +105,15 @@ def sorted_interp_quad(x, xp, fpdf, fcdf):
     loss, where the blurred proposal histogram has a piecewise-linear PDF.
     """
     mask = x[..., None, :] >= xp[..., :, None]  # [..., M, N]
-    m = xp.shape[-1]
-    i = jnp.arange(m, dtype=jnp.int32)
-    idx0 = jnp.max(jnp.where(mask, i[:, None], 0), axis=-2)
-    idx1 = jnp.min(jnp.where(~mask, i[:, None], m - 1), axis=-2)
-    fcdf0 = jnp.take_along_axis(fcdf, idx0, axis=-1)
+    # Interval endpoints located by value-extrema over the masked CDF, with
+    # first-occurrence argmax/argmin tie-breaking — exactly the reference's
+    # torch.max/min(...).indices semantics, so degenerate queries (outside
+    # [xp[0], xp[-1]], CDF plateaus) gather the same fpdf entries.
+    big = jnp.where(mask, fcdf[..., :, None], fcdf[..., :1, None])
+    small = jnp.where(~mask, fcdf[..., :, None], fcdf[..., -1:, None])
+    fcdf0 = jnp.max(big, axis=-2)
+    idx0 = jnp.argmax(big, axis=-2)
+    idx1 = jnp.argmin(small, axis=-2)
     fpdf0 = jnp.take_along_axis(fpdf, idx0, axis=-1)
     fpdf1 = jnp.take_along_axis(fpdf, idx1, axis=-1)
     xp0, xp1 = _masked_extrema(mask, xp)

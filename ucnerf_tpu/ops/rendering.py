@@ -66,7 +66,7 @@ def cylinder_to_gaussian(d, t0, t1, radius, diag):
 
 
 def cast_rays(key, tdist, origins, directions, cam_dirs, radii,
-              std_scale=0.5):
+              std_scale=0.5, rand_vec=None):
     """Zip-NeRF hexagonal 6-point multisampling of conical frustums.
 
     For each ray interval [t0, t1], places 6 sample points on a helix over the
@@ -121,7 +121,11 @@ def cast_rays(key, tdist, origins, directions, cam_dirs, radii,
     stds = std_scale * radii * t / 2**0.5
 
     # Orthonormal basis with two vectors parallel to the image plane.
-    rand_vec = jax.random.normal(key_basis, cam_dirs.shape, cam_dirs.dtype)
+    # `rand_vec` is injectable for torch-oracle parity tests (the reference
+    # draws it from the global torch RNG, render.py:140).
+    if rand_vec is None:
+        rand_vec = jax.random.normal(key_basis, cam_dirs.shape,
+                                     cam_dirs.dtype)
     def normalize(v):
         return v / jnp.maximum(
             jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
@@ -137,7 +141,7 @@ def cast_rays(key, tdist, origins, directions, cam_dirs, radii,
 
 
 def cast_rays_cm(key, tdist, origins, directions, cam_dirs, radii,
-                 std_scale=0.5):
+                 std_scale=0.5, rand_vec=None):
     """Channel-major / hex-major twin of cast_rays for the TPU hot path.
 
     Identical math, but every large tensor is laid out with the sample axis
@@ -181,7 +185,9 @@ def cast_rays_cm(key, tdist, origins, directions, cam_dirs, radii,
     mz = t
     stds = std_scale * radii_b * t / 2**0.5
 
-    rand_vec = jax.random.normal(key_basis, cam_dirs.shape, cam_dirs.dtype)
+    if rand_vec is None:
+        rand_vec = jax.random.normal(key_basis, cam_dirs.shape,
+                                     cam_dirs.dtype)
     def normalize(v):
         return v / jnp.maximum(
             jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
