@@ -86,7 +86,17 @@ def main(argv=None):
         except ImportError:
             pass
 
-    rng = np.random.default_rng(1234 + init_step)
+    # Per-process input pipeline (reference datasets.py:278: per-process
+    # batch = batch_size // world_size): each host samples only its slice
+    # with a process-folded seed; shard_local_batch assembles the global
+    # sharded array without any host ever holding the full batch.
+    if config.batch_size % jax.process_count() != 0:
+        raise ValueError(
+            f"batch_size {config.batch_size} must divide evenly across "
+            f"{jax.process_count()} processes")
+    local_batch_size = config.batch_size // jax.process_count()
+    rng = np.random.default_rng(
+        1234 + init_step + 7919 * jax.process_index())
     key = jax.random.PRNGKey(5678)
     t_start = time.time()
     t_window = time.time()
@@ -99,8 +109,8 @@ def main(argv=None):
         if args.profile_steps and step == profile_stop:
             jax.profiler.stop_trace()
             logger.info("profiler trace written to %s/profile", exp)
-        batch = dataset.sample_batch(rng, config.batch_size)
-        batch = meshlib.shard_batch(batch, mesh)
+        batch = dataset.sample_batch(rng, local_batch_size)
+        batch = meshlib.shard_local_batch(batch, mesh)
         train_frac = np.clip((step - 1) / (config.max_steps - 1), 0, 1)
         state, stats = train_step(state, batch, jax.random.fold_in(key, step),
                                   jnp.float32(train_frac))

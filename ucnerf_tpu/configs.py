@@ -128,9 +128,18 @@ class Config:
     cam_type: int = 6  # 6 -> 3 front cameras on Waymo.
     llffhold: int = 8  # Every Nth frame group is test.
     training_views: int = 210
+    # Synthetic-dataset render size (tests / quality baselines without
+    # Waymo data on disk).
+    synthetic_height: int = 64
+    synthetic_width: int = 96
     load_sky_segments: bool = True
     virtual_poses: bool = False
     randomized: bool = True
+    # In-graph per-physical-camera se(3) refinement (north-star config 4:
+    # the reference's poses are frozen numpy; here residual miscalibration
+    # is optimized jointly with the field — see models/cam_refine.py).
+    optimize_cameras: bool = False
+    num_phys_cams: int = 3
     # Model toggles.
     model_sky: bool = False
     brightness_correction: bool = False
@@ -240,6 +249,36 @@ def waymo_tpu(**overrides) -> Config:
     return dataclasses.replace(base, **overrides)
 
 
+def synthetic_quality(**overrides) -> Config:
+    """Quality-gate config: the CANONICAL Waymo model architecture (same
+    grids, sampling counts, losses, optimizer as ``waymo()``) trained on the
+    procedural synthetic scene.  No Waymo data ships in this image, so this
+    is the reproducible PSNR benchmark; QUALITY_r*.md records the results.
+    Flip hex_single_query via -b 'NerfMLP.hex_single_query = True' to
+    measure the TPU fast-encoding's quality delta."""
+    base = waymo(
+        dataset_loader="synthetic",
+        near=0.2,
+        far=12.0,
+        training_views=36,
+        synthetic_height=128,
+        synthetic_width=192,
+        batch_size=8192,
+        render_chunk_size=8192,
+        max_steps=4000,
+        lr_delay_steps=500,
+        checkpoint_every=2000,
+        train_render_every=1000,
+        # One monolithic 8192-ray program for this architecture crashes the
+        # TPU backend compiler (regalloc RET_CHECK in lsrav2; observed on
+        # v5e) after ~14 min; 4 host-driven 2048-ray microbatch programs
+        # compile and run fine and are gradient-identical.
+        microbatches=4,
+        host_microbatches=True,
+    )
+    return dataclasses.replace(base, **overrides)
+
+
 def tiny(**overrides) -> Config:
     """CPU-runnable smoke config: tiny grids, few samples, small batches."""
     base = Config(
@@ -271,7 +310,7 @@ def tiny(**overrides) -> Config:
 
 
 _PRESETS = {"waymo": waymo, "waymo_tpu": waymo_tpu, "tiny": tiny,
-            "default": Config}
+            "synthetic_quality": synthetic_quality, "default": Config}
 
 
 def parse_bindings(config: Config, bindings: Sequence[str]) -> Config:

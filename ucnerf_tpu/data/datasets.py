@@ -93,6 +93,9 @@ class RayDataset:
         else:
             batch["sky_segs"] = np.zeros((n,), np.float32)
         batch["cam_idx"] = cam_idx.astype(np.int32)
+        # Physical camera of each view: images are frame-major
+        # (idx = frame * cam_num + cam), so view % cam_num is the rig slot.
+        batch["phys_cam_idx"] = (cam_idx % self.cam_num).astype(np.int32)
         batch.pop("imageplane", None)
         return {k: v for k, v in batch.items() if v is not None}
 
@@ -170,6 +173,9 @@ class RayDataset:
             else:
                 batch["sky_segs"] = np.zeros((n,), np.float32)
             batch["cam_idx"] = ref_idx.astype(np.int32)
+            # Virtual views perturb a real camera; vidx // 9 is its view id.
+            batch["phys_cam_idx"] = ((vidx // 9) % self.cam_num).astype(
+                np.int32)
             batch.pop("imageplane", None)
             return {k: v for k, v in batch.items() if v is not None}
         for _attempt in range(8):
@@ -218,6 +224,8 @@ class RayDataset:
                 batch["sky_segs"] = np.zeros((n,), np.float32)
             # Supervision latent: the REF view's color correction applies.
             batch["cam_idx"] = np.full((n,), ref_idx, np.int32)
+            batch["phys_cam_idx"] = np.full(
+                (n,), (vidx // 9) % self.cam_num, np.int32)
             batch.pop("imageplane", None)
             return {k: v for k, v in batch.items() if v is not None}
         return None

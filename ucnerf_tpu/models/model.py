@@ -25,6 +25,7 @@ import numpy as np
 
 from ucnerf_tpu.configs import Config
 from ucnerf_tpu.models.brightness import BrightnessCorrection, apply_affine
+from ucnerf_tpu.models.cam_refine import CameraRefinement
 from ucnerf_tpu.models.fields import ZipMLP
 from ucnerf_tpu.models.sky import SkyNeRF, render_sky
 from ucnerf_tpu.ops import coord, grad_scaler, hashgrid, rendering, stepfun
@@ -59,6 +60,9 @@ class UCNeRFModel(nn.Module):
             self.skynerf = SkyNeRF(
                 net_depth=mcfg.sky_net_depth, net_width=mcfg.sky_net_width,
                 deg_view=mcfg.sky_deg_view, name="skynerf")
+        if cfg.optimize_cameras:
+            self.cam_refine = CameraRefinement(num_cams=cfg.num_phys_cams,
+                                               name="cam_refine")
         if cfg.brightness_correction:
             self.brightness_corr = BrightnessCorrection(
                 n_views=cfg.training_views, model_sky=cfg.model_sky,
@@ -85,6 +89,19 @@ class UCNeRFModel(nn.Module):
         """
         cfg = self.config
         mcfg = cfg.model
+
+        if cfg.optimize_cameras and "phys_cam_idx" in batch:
+            # Differentiable per-camera se(3) refinement at device-side
+            # ray-gen (equivalent to regenerating rays from Exp(delta)@c2w —
+            # see models/cam_refine.py).  viewdirs are the normalized
+            # directions; rotation preserves norms so renormalization is a
+            # no-op up to fp error and we rotate them directly.
+            o2, d2, cd2 = self.cam_refine(
+                batch["phys_cam_idx"], batch["origins"],
+                batch["directions"], batch["cam_dirs"])
+            vd2 = d2 / jnp.linalg.norm(d2, axis=-1, keepdims=True)
+            batch = dict(batch, origins=o2, directions=d2, cam_dirs=cd2,
+                         viewdirs=vd2)
 
         # Mapping from normalized to metric ray distances.
         _, s_to_t = coord.construct_ray_warps(

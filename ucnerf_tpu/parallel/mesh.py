@@ -52,10 +52,63 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def process_slice(n: int, process_index: Optional[int] = None,
+                  process_count: Optional[int] = None):
+    """This process's [start, stop) slice of a global leading axis of size n.
+
+    The per-process split of the global batch (reference datasets.py:278:
+    per-process batch = batch_size // world_size).  n must divide evenly —
+    callers pad with pad_rays_to_multiple first.
+    """
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    if n % pc != 0:
+        raise ValueError(f"global batch {n} not divisible by {pc} processes")
+    per = n // pc
+    return pi * per, (pi + 1) * per
+
+
 def shard_batch(batch, mesh: Mesh):
-    """Device-put a host ray batch with the leading axis sharded."""
+    """Put a GLOBAL host ray batch on the mesh, leading axis sharded.
+
+    Single process: a plain sharded device_put.  Multi-process: every host
+    must hold the same global numpy batch (identically-seeded sampling); each
+    host contributes its process_slice and the global jax.Array is assembled
+    with make_array_from_process_local_data — device_put of host-local numpy
+    onto a multi-host NamedSharding is NOT valid there.
+    """
     sharding = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+    def put(x):
+        lo, hi = process_slice(x.shape[0])
+        return jax.make_array_from_process_local_data(
+            sharding, np.asarray(x[lo:hi]), x.shape)
+
+    return jax.tree.map(put, batch)
+
+
+def shard_local_batch(local_batch, mesh: Mesh,
+                      process_count: Optional[int] = None):
+    """Assemble a global sharded batch from PER-PROCESS host slices.
+
+    The efficient multi-host input path: each host samples only its
+    batch_size // process_count rays (with a process-folded seed) and never
+    materializes the global batch.  Single-process this is shard_batch.
+    """
+    pc = jax.process_count() if process_count is None else process_count
+    if pc == 1:
+        return shard_batch(local_batch, mesh)
+    sharding = batch_sharding(mesh)
+
+    def put(x):
+        x = np.asarray(x)
+        global_shape = (x.shape[0] * pc,) + x.shape[1:]
+        return jax.make_array_from_process_local_data(sharding, x,
+                                                      global_shape)
+
+    return jax.tree.map(put, local_batch)
 
 
 def initialize_multihost(coordinator_address: Optional[str] = None,
@@ -88,15 +141,19 @@ def is_main_process() -> bool:
     return jax.process_index() == 0
 
 
-def all_gather_host(x):
-    """Gather a per-host array across processes onto every host.
+def fetch_to_host(x):
+    """jax.Array -> host numpy, valid on every process.
 
-    Replaces accelerator.gather for eval reassembly (models.py:965-968)."""
+    The eval-reassembly primitive (replaces accelerator.gather,
+    models.py:965-968): fully-addressable arrays (replicated outputs, or any
+    output in single-process runs) are fetched directly; outputs that stay
+    sharded across processes are all-gathered first so every host sees the
+    complete array."""
     import jax
-    if jax.process_count() == 1:
-        return x
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(x)
     from jax.experimental import multihost_utils
-    return multihost_utils.process_allgather(x)
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
 
 
 def pad_rays_to_multiple(batch, multiple: int):

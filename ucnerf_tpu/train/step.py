@@ -65,6 +65,8 @@ def dummy_batch(config: Config, n: int) -> Dict[str, jnp.ndarray]:
         "far": np.full((n, 1), config.far, np.float32),
         "cam_idx": (rng.integers(0, max(config.training_views, 1), n)
                     .astype(np.int32)),
+        "phys_cam_idx": (rng.integers(0, max(config.num_phys_cams, 1), n)
+                         .astype(np.int32)),
         "lossmult": np.ones((n, 1), np.float32),
         "rgb": np.full((n, 3), 0.5, np.float32),
         "sky_segs": np.zeros((n,), np.float32),
@@ -183,18 +185,20 @@ def _make_host_microbatch_step(config: Config, grad_fn, tx, mesh, num_micro):
                          losses=mean(losses))
         return new_state, out_stats
 
+    # Donate either the state (params/mu/nu alias the new state's buffers)
+    # or, when the state must be kept, the grads (they can alias the new
+    # params instead).  Donating BOTH leaves the grads with no output to
+    # alias — XLA then warns "some donated buffers were not usable" for the
+    # whole param-shaped tree every step.
+    update_donate = (0,) if config.donate_train_state else (1,)
     if mesh is None:
         micro_jit = jax.jit(micro_fn, donate_argnums=(1,))
-        update_jit = jax.jit(
-            update_fn,
-            donate_argnums=(0, 1) if config.donate_train_state else (1,))
+        update_jit = jax.jit(update_fn, donate_argnums=update_donate)
     else:
         micro_jit = jax.jit(micro_fn,
                             in_shardings=(repl, repl, data, repl, repl),
                             donate_argnums=(1,))
-        update_jit = jax.jit(
-            update_fn,
-            donate_argnums=(0, 1) if config.donate_train_state else (1,))
+        update_jit = jax.jit(update_fn, donate_argnums=update_donate)
 
     def train_step(state, batch, key, train_frac):
         micro = jax.tree.map(
@@ -270,7 +274,9 @@ def render_image(eval_step, params, batch, config: Config, train_frac=1.0,
         if mesh is not None:
             chunk_batch = meshlib.shard_batch(chunk_batch, mesh)
         out = eval_step(params, chunk_batch, train_frac, eval_camidx)
-        out = jax.tree.map(np.asarray, out)
+        # Eval reassembly: valid on every process whether outputs come back
+        # replicated or sharded (parallel/mesh.fetch_to_host).
+        out = jax.tree.map(meshlib.fetch_to_host, out)
         if pad:
             out = jax.tree.map(lambda x: x[:-pad], out)
         outs.append(out)
