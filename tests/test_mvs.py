@@ -154,3 +154,81 @@ def test_geometric_consistency_on_synthetic():
     f = np.asarray(fused)
     err = np.abs(f[m] - np.asarray(depth_ref)[m]) / np.asarray(depth_ref)[m]
     assert np.median(err) < 0.02
+
+
+def _dense_windows(num_views):
+    """Synthetic fixture with ~15 deg baselines: the reference's strict
+    D2HC thresholds assume narrow-baseline automotive footage; the default
+    tiny ring (~51 deg apart) has too little cross-view overlap to test
+    anything but the reject path."""
+    from ucnerf_tpu import configs
+
+    return SyntheticMVSWindows(config=configs.tiny(training_views=24),
+                               num_views=num_views)
+
+
+def test_dynamic_consistency_masks_accepts_truth_rejects_outliers():
+    """Exact analytic depths pass the dynamic check; injected outliers die."""
+    win = _dense_windows(4)
+    depth_ref = np.asarray(win.depths[0]).copy()
+    h, w = depth_ref.shape
+    # Corrupt a block of the reference depth by 3x.
+    depth_bad = depth_ref.copy()
+    depth_bad[h // 4: h // 2, w // 4: w // 2] *= 3.0
+    src = [(jnp.asarray(win.depths[i]), jnp.asarray(win.poses[i]),
+            jnp.asarray(win.intrinsics[i])) for i in (1, 2, 3)]
+    mask, fused = pipelines.dynamic_consistency_masks(
+        jnp.asarray(depth_bad), jnp.asarray(win.poses[0]),
+        jnp.asarray(win.intrinsics[0]), src, thre=-0.5)
+    m = np.asarray(mask)
+    bad_region = np.zeros((h, w), bool)
+    bad_region[h // 4: h // 2, w // 4: w // 2] = True
+    valid = depth_ref > 0
+    # Outlier block must be (almost entirely) masked out...
+    assert m[bad_region & valid].mean() < 0.05, m[bad_region & valid].mean()
+    # ...while a healthy fraction of untouched pixels survives.
+    assert m[~bad_region & valid].mean() > 0.25, m[~bad_region & valid].mean()
+
+
+def test_adaptive_geometric_fusion_hits_target_fraction():
+    win = _dense_windows(4)
+    pairs = [(i, [j for j in range(4) if j != i]) for i in range(4)]
+    glb = 0.3
+    results = pipelines.adaptive_geometric_fusion(
+        win.depths[:4], win.poses[:4], win.intrinsics[:4], pairs, glb=glb,
+        tot_iter=6)
+    assert set(results) == {0, 1, 2, 3}
+    fracs = [np.asarray(m).mean() for m, _, _ in results.values()]
+    # Bisection steers the mean surviving fraction toward glb.
+    assert 0.05 < float(np.mean(fracs)) < 0.8, np.mean(fracs)
+    for ref, (m, fused, thre) in results.items():
+        d = np.asarray(win.depths[ref])
+        mm = np.asarray(m)
+        if mm.any():
+            err = np.abs(fused[mm] - d[mm]) / np.maximum(d[mm], 1e-9)
+            assert np.median(err) < 0.05
+
+
+def test_fused_point_cloud_and_ply(tmp_path):
+    from ucnerf_tpu.extraction.meshing import write_ply
+
+    win = _dense_windows(3)
+    pairs = [(0, [1, 2])]
+    results = pipelines.adaptive_geometric_fusion(
+        win.depths[:3], win.poses[:3], win.intrinsics[:3], pairs,
+        glb=0.25, tot_iter=4)
+    xyz, rgb = pipelines.fused_point_cloud(
+        results, win.images / 255.0, win.poses[:3], win.intrinsics[:3])
+    assert len(xyz) > 50
+    assert rgb.shape == xyz.shape
+    # Points must lie on the analytic scene surfaces: sphere r=0.8 or the
+    # y=-1 ground plane (scene geometry from datasets.synthetic_scene...).
+    on_plane = np.abs(xyz[:, 1] + 1.0) < 0.05
+    on_sphere = np.abs(np.linalg.norm(xyz, axis=1) - 0.8) < 0.05
+    assert (on_plane | on_sphere).mean() > 0.9
+
+    path = str(tmp_path / "cloud.ply")
+    write_ply(path, xyz, np.zeros((0, 3), np.int32), colors=rgb)
+    data = open(path, "rb").read()
+    assert data.startswith(b"ply")
+    assert f"element vertex {len(xyz)}".encode() in data

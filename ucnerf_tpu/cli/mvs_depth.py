@@ -47,14 +47,22 @@ def main(argv=None):
                         default=[0.5, 1.0])
     parser.add_argument("--limit", type=int, default=None)
     parser.add_argument("--encoder-type", default="HR")
+    parser.add_argument("--fuse", action="store_true",
+                        help="adaptive-threshold geometric fusion across "
+                             "views: masked depths + fused result.ply "
+                             "(fusion.py:109-342)")
+    parser.add_argument("--fuse-glb", type=float, default=0.25,
+                        help="target surviving-pixel fraction for the "
+                             "adaptive threshold search")
     args = parser.parse_args(argv)
 
     import jax
     import jax.numpy as jnp
 
     from ucnerf_tpu.models.mvs.datasets import WaymoMVSWindows
-    from ucnerf_tpu.models.mvs.pipelines import (multires_fusion,
-                                                 postprocess_disp)
+    from ucnerf_tpu.models.mvs.pipelines import (
+        adaptive_geometric_fusion, fused_point_cloud, multires_fusion,
+        postprocess_disp)
     from ucnerf_tpu.models.mvs.raft import RAFTMVS
 
     ds = WaymoMVSWindows(args.data_dir, args.pose_json,
@@ -69,6 +77,9 @@ def main(argv=None):
 
     params = None
     n = len(ds) if args.limit is None else min(len(ds), args.limit)
+    # Per-ref-view records for optional cross-view fusion.
+    ref_imgs, ref_poses, ref_ks, ref_depths = [], [], [], []
+    name_to_index, pair_names = {}, []
     for index in range(n):
         images, poses, intr, names, scale = ds[index]
         depths_at_scale = {}
@@ -105,7 +116,36 @@ def main(argv=None):
             fused = depths_at_scale[args.rescales[0]]
         np.save(os.path.join(args.output, f"{names[0]}.npy"),
                 fused.astype(np.float32))
+        if args.fuse:
+            name_to_index[names[0]] = index
+            pair_names.append((names[0], list(names[1:])))
+            ref_imgs.append(np.asarray(images[0]))
+            ref_poses.append(np.asarray(poses[0]))
+            ref_ks.append(np.asarray(intr[0]))
+            ref_depths.append(np.asarray(fused, np.float32))
     print(f"wrote {n} depth maps to {args.output}")
+
+    if args.fuse:
+        pairs = [(name_to_index[r], [name_to_index[s] for s in srcs
+                                     if s in name_to_index])
+                 for r, srcs in pair_names]
+        pairs = [(r, s) for r, s in pairs if s]
+        results = adaptive_geometric_fusion(
+            np.stack(ref_depths), np.stack(ref_poses), np.stack(ref_ks),
+            pairs, glb=args.fuse_glb, log_fn=print)
+        os.makedirs(os.path.join(args.output, "mask"), exist_ok=True)
+        idx_to_name = {v: k for k, v in name_to_index.items()}
+        for ref, (mask, fused_d, _) in sorted(results.items()):
+            name = idx_to_name[ref]
+            masked = np.where(mask, fused_d, 0.0).astype(np.float32)
+            np.save(os.path.join(args.output, f"{name}.npy"), masked)
+            np.save(os.path.join(args.output, "mask", f"{name}.npy"), mask)
+        xyz, rgb = fused_point_cloud(results, np.stack(ref_imgs),
+                                     np.stack(ref_poses), np.stack(ref_ks))
+        from ucnerf_tpu.extraction.meshing import write_ply
+        ply_path = os.path.join(args.output, "result.ply")
+        write_ply(ply_path, xyz, np.zeros((0, 3), np.int32), colors=rgb)
+        print(f"fused point cloud: {len(xyz)} points -> {ply_path}")
 
 
 if __name__ == "__main__":

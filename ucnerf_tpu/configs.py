@@ -263,17 +263,22 @@ def synthetic_quality(**overrides) -> Config:
         training_views=36,
         synthetic_height=128,
         synthetic_width=192,
-        batch_size=8192,
-        render_chunk_size=8192,
-        max_steps=4000,
-        lr_delay_steps=500,
-        checkpoint_every=2000,
-        train_render_every=1000,
-        # One monolithic 8192-ray program for this architecture crashes the
+        batch_size=4096,
+        render_chunk_size=4096,
+        max_steps=1500,
+        lr_delay_steps=300,
+        checkpoint_every=1500,
+        train_render_every=500,
+        # Canonical encoding (10 levels, 2^21 hashmap, hex multisampling)
+        # and MLP widths; proposal sample count halved (128 -> 64) to keep
+        # the recorded runs tractable on one tunneled chip.
+        model=ModelConfig(num_levels=2, num_prop_samples=64,
+                          num_nerf_samples=32),
+        # One monolithic program at canonical-architecture sizes crashes the
         # TPU backend compiler (regalloc RET_CHECK in lsrav2; observed on
-        # v5e) after ~14 min; 4 host-driven 2048-ray microbatch programs
+        # v5e) after ~14 min; host-driven 2048-ray microbatch programs
         # compile and run fine and are gradient-identical.
-        microbatches=4,
+        microbatches=2,
         host_microbatches=True,
     )
     return dataclasses.replace(base, **overrides)
