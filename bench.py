@@ -1,13 +1,22 @@
-"""Benchmark: training throughput (rays/s) of the canonical Waymo config.
+"""Benchmark: train + render throughput (rays/s) of the canonical Waymo
+architecture, in both encoding modes.
 
-Runs the full jitted UC-NeRF train step (forward + all losses + backward +
-Adam) on the canonical Waymo-100613 architecture — batch 15000 rays, 2 levels
-(128 prop + 32 nerf samples), hash grids 512/8192, sky model + brightness
-correction — on the available accelerator, and prints ONE JSON line.
+Measures four numbers on the available accelerator and prints ONE JSON line:
 
-The reference repo publishes no numbers (BASELINE.md), so ``vs_baseline`` is
-reported as the ratio to the north-star bookkeeping value of 1.0 until a
-measured PyTorch/GPU baseline lands in BASELINE.json.
+  - train rays/s, ``waymo_tpu`` preset (flagship: single-query hex encoding)
+  - train rays/s, ``waymo`` preset (reference-exact 6-point hex encoding)
+  - render rays/s for both presets (the north star is train AND render,
+    BASELINE.md)
+
+Both train steps run the full pipeline (forward + all losses + backward +
+Adam) at batch 15000 rays, 2 levels (128 prop + 32 nerf samples), hash grids
+512/8192, sky model + brightness correction.  The exact-hex preset is run
+with host microbatches: a monolithic program at this size crashes the v5e
+backend compiler (regalloc RET_CHECK — see configs.synthetic_quality).
+
+The primary metric is the flagship train rays/s; ``vs_baseline`` is the
+ratio to round 1's recorded 8138.2 rays/s (BENCH_r01.json) on the same
+preset/chip.  The remaining measurements ride along in ``extra``.
 """
 
 from __future__ import annotations
@@ -16,36 +25,25 @@ import argparse
 import json
 import time
 
+BASELINE_R01_TRAIN_RAYS_PER_SEC = 8138.2
 
-def main():
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--batch-size", type=int, default=15000)
-    parser.add_argument("--steps", type=int, default=20)
-    parser.add_argument("--warmup", type=int, default=3)
-    parser.add_argument("--binding", "-b", action="append", default=[],
-                        help="config override, e.g. 'Config.microbatches = 4'")
-    parser.add_argument("--preset", default="waymo_tpu",
-                        help="waymo_tpu (flagship, default) | waymo "
-                             "(reference-exact hex encoding)")
-    args = parser.parse_args()
 
+def _measure_train(cfg, steps, warmup):
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from ucnerf_tpu import configs
     from ucnerf_tpu.train import state as state_lib
     from ucnerf_tpu.train import step as step_lib
 
-    cfg = configs._PRESETS[args.preset](batch_size=args.batch_size)
-    cfg = configs.parse_bindings(cfg, args.binding)
     model, params = step_lib.init_model(cfg, jax.random.PRNGKey(0))
     state = state_lib.create_train_state(cfg, params)
     train_step = step_lib.make_train_step(model, cfg)
-    batch = jax.tree.map(jnp.asarray, step_lib.dummy_batch(cfg, cfg.batch_size))
+    batch = jax.tree.map(jnp.asarray,
+                         step_lib.dummy_batch(cfg, cfg.batch_size))
 
     key = jax.random.PRNGKey(1)
-    for i in range(args.warmup):
+    for i in range(warmup):
         state, stats = train_step(state, batch, jax.random.fold_in(key, i),
                                   jnp.float32(0.5))
     # Force completion with a host fetch: block_until_ready is not reliable
@@ -53,7 +51,7 @@ def main():
     float(stats["loss"])
 
     t0 = time.perf_counter()
-    for i in range(args.steps):
+    for i in range(steps):
         state, stats = train_step(state, batch,
                                   jax.random.fold_in(key, 100 + i),
                                   jnp.float32(0.5))
@@ -62,14 +60,80 @@ def main():
     final_loss = float(stats["loss"])
     dt = time.perf_counter() - t0
     assert np.isfinite(final_loss), final_loss
+    return cfg.batch_size * steps / dt
 
-    steps_per_sec = args.steps / dt
-    rays_per_sec = cfg.batch_size * steps_per_sec
+
+def _measure_render(cfg, chunks, warmup):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ucnerf_tpu.train import step as step_lib
+
+    model, params = step_lib.init_model(cfg, jax.random.PRNGKey(0))
+    eval_step = step_lib.make_eval_step(model, cfg)
+    n = cfg.render_chunk_size
+    batch = jax.tree.map(jnp.asarray, step_lib.dummy_batch(cfg, n))
+
+    for _ in range(warmup):
+        out = eval_step(params, batch, 1.0, 0)
+    float(jnp.sum(out["rgb"]))
+
+    t0 = time.perf_counter()
+    acc = 0.0
+    for _ in range(chunks):
+        out = eval_step(params, batch, 1.0, 0)
+        acc = acc + out["rgb"]
+    total = float(jnp.sum(acc))
+    dt = time.perf_counter() - t0
+    assert np.isfinite(total), total
+    return n * chunks / dt
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch-size", type=int, default=15000)
+    parser.add_argument("--steps", type=int, default=20)
+    parser.add_argument("--chunks", type=int, default=20)
+    parser.add_argument("--warmup", type=int, default=3)
+    parser.add_argument("--binding", "-b", action="append", default=[],
+                        help="config override, e.g. 'Config.microbatches=4'")
+    parser.add_argument("--only", default=None,
+                        choices=[None, "flagship", "exact"],
+                        help="limit to one preset (debugging)")
+    args = parser.parse_args()
+
+    from ucnerf_tpu import configs
+
+    flagship = configs.parse_bindings(
+        configs.waymo_tpu(batch_size=args.batch_size), args.binding)
+    # Reference-exact hex encoding; host microbatches so the program
+    # compiles (see module docstring), 1500 rays per device program like
+    # the flagship.
+    exact = configs.parse_bindings(
+        configs.waymo(batch_size=args.batch_size, host_microbatches=True),
+        args.binding)
+
+    extra = {}
+    if args.only != "exact":
+        extra["train_rays_per_sec_flagship"] = round(
+            _measure_train(flagship, args.steps, args.warmup), 1)
+        extra["render_rays_per_sec_flagship"] = round(
+            _measure_render(flagship, args.chunks, args.warmup), 1)
+    if args.only != "flagship":
+        extra["train_rays_per_sec_exact_hex"] = round(
+            _measure_train(exact, args.steps, args.warmup), 1)
+        extra["render_rays_per_sec_exact_hex"] = round(
+            _measure_render(exact, args.chunks, args.warmup), 1)
+
+    primary = extra.get("train_rays_per_sec_flagship",
+                        extra.get("train_rays_per_sec_exact_hex"))
     print(json.dumps({
         "metric": "train_rays_per_sec",
-        "value": round(rays_per_sec, 1),
+        "value": primary,
         "unit": "rays/s",
-        "vs_baseline": round(rays_per_sec / 1.0, 1),
+        "vs_baseline": round(primary / BASELINE_R01_TRAIN_RAYS_PER_SEC, 3),
+        "extra": extra,
     }))
 
 

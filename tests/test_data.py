@@ -175,3 +175,31 @@ def test_train_test_split_disjoint(tiny_cfg):
     cte = te.camtoworlds[:, :3, 3]
     d = np.linalg.norm(ctr[:, None] - cte[None], axis=-1)
     assert d.min() > 1e-6
+
+
+def test_correspondence_pool_multiple_neighbors():
+    """Each virtual view pairs with several distinct temporal neighbors
+    (reference re-draws the neighbor per batch, datasets.py:510-517; the
+    precomputed pool must keep that supervision diversity)."""
+    from ucnerf_tpu.data import warping
+
+    cfg = configs.tiny(virtual_poses=True)
+    ds = datasets.load_dataset("train", cfg)
+    pool = warping.precompute_correspondence_pool(
+        ds, np.random.default_rng(0), pool_per_pair=64,
+        neighbors_per_view=3)
+    assert pool is not None
+    # Interior virtual views (clipping can't collapse their neighbors)
+    # must reference >= 2 distinct real views each.
+    per_view = {}
+    for v, r in zip(pool["src_cam_idx"], pool["ref_idx"]):
+        per_view.setdefault(int(v), set()).add(int(r))
+    interior = {v: refs for v, refs in per_view.items()
+                if 2 <= v // 9 < ds.n_examples - 2}
+    assert interior, "no interior virtual views warped successfully"
+    multi = [len(refs) >= 2 for refs in interior.values()]
+    assert np.mean(multi) > 0.5, np.mean(multi)
+    # Pool indices stay in range.
+    assert pool["ref_idx"].max() < ds.n_examples
+    assert pool["src_px"].max() < ds.width
+    assert pool["ref_py"].max() < ds.height

@@ -24,6 +24,10 @@ def main(argv=None):
     parser = common.make_parser(__doc__)
     parser.add_argument("--limit", type=int, default=None,
                         help="evaluate at most N test images")
+    parser.add_argument("--ray-histograms", action="store_true",
+                        help="save per-level ray color/weight histogram "
+                             "panels for the first test image "
+                             "(vis.py:193-221)")
     args = parser.parse_args(argv)
     config = common.load_config_from_args(args)
     exp, logger = common.setup_experiment(config, "eval")
@@ -95,6 +99,26 @@ def main(argv=None):
                         vis_lib.save_image_u8(
                             os.path.join(out_dir, f"{name}_{idx:03d}.png"),
                             panels[name])
+
+            if args.ray_histograms and idx == 0:
+                # Per-level ray histograms for a strip of the first image
+                # (vis.py:193-221): run the model directly on the first
+                # rays so the per-level step functions are available.
+                import jax.numpy as jnp
+
+                nvr = 64
+                flat = {k: jnp.asarray(
+                    np.asarray(v).reshape((-1,) + v.shape[2:])[:nvr])
+                    for k, v in img_batch.items()}
+                _, ray_history = model.apply(
+                    {"params": params_eval}, None, flat, 1.0,
+                    compute_extras=False, train=False,
+                    eval_camidx=_eval_camidx(config, idx,
+                                             test_dataset.cam_num))
+                hist = vis_lib.visualize_ray_histograms(ray_history)
+                for name, img in hist.items():
+                    vis_lib.save_image_u8(
+                        os.path.join(out_dir, f"{name}_{idx:03d}.png"), img)
 
         # Per-metric txt dumps (eval.py:261-289).
         if all_metrics and config.eval_save_output:

@@ -146,14 +146,20 @@ def warp_depth(ref_pose, src_pose, ref_depth, intrinsic):
     return depth_out
 
 
-def precompute_correspondence_pool(dataset, rng, pool_per_pair=2048,
-                                   max_pairs=None):
+def precompute_correspondence_pool(dataset, rng, pool_per_pair=1024,
+                                   max_pairs=None, neighbors_per_view=3):
     """Precompute a pool of (virtual-ray pixel, real supervision) pairs.
 
     The reference rejects-and-retries warps inside every batch
     (datasets.py:507-529), a host-side loop that stalls a TPU step.  This
     builds the valid-correspondence tables once up front (SURVEY.md §7);
     sampling a batch then reduces to indexing the pool.
+
+    Each virtual view is paired with `neighbors_per_view` DISTINCT temporal
+    neighbors (sampled without replacement from the reference's +-{1,2}
+    frame offsets, datasets.py:512-517) so the pool preserves most of the
+    per-batch re-draw's supervision diversity instead of freezing one
+    neighbor per virtual view.
 
     Returns a dict of flat arrays:
       src_cam_idx [N] (index into dataset.virtual_poses),
@@ -164,31 +170,41 @@ def precompute_correspondence_pool(dataset, rng, pool_per_pair=2048,
                            "ref_px", "ref_py")}
     n_virtual = len(dataset.virtual_poses)
     pairs = 0
+    all_offsets = np.array([-2, -1, 1, 2])
     for vidx in range(n_virtual):
         real_idx = vidx // 9
-        offs = int(rng.choice([-2, -1, 1, 2])) * dataset.cam_num
-        ref_idx = int(np.clip(real_idx + offs, 0, dataset.n_examples - 1))
-        k_ref = np.linalg.inv(dataset.pixtocams[ref_idx])
-        pix, mask = warp_image(
-            dataset.camtoworlds[ref_idx] @ GL_TO_CV,
-            dataset.virtual_poses[vidx] @ GL_TO_CV,
-            dataset.disp_images[ref_idx], k_ref)
-        ys, xs = np.nonzero(mask)
-        if len(ys) < 32:
-            continue
-        sel = rng.integers(0, len(ys), min(pool_per_pair, len(ys)))
-        ry, rx = ys[sel], xs[sel]
-        sx = np.clip(np.round(pix[ry, rx, 0]).astype(np.int32), 0,
-                     dataset.width - 1)
-        sy = np.clip(np.round(pix[ry, rx, 1]).astype(np.int32), 0,
-                     dataset.height - 1)
-        out["src_cam_idx"].append(np.full(len(sel), vidx, np.int32))
-        out["src_px"].append(sx)
-        out["src_py"].append(sy)
-        out["ref_idx"].append(np.full(len(sel), ref_idx, np.int32))
-        out["ref_px"].append(rx.astype(np.int32))
-        out["ref_py"].append(ry.astype(np.int32))
-        pairs += 1
+        n_nb = min(neighbors_per_view, len(all_offsets))
+        offsets = rng.choice(all_offsets, size=n_nb, replace=False)
+        ref_seen = set()
+        for offs in offsets:
+            ref_idx = int(np.clip(real_idx + int(offs) * dataset.cam_num, 0,
+                                  dataset.n_examples - 1))
+            if ref_idx in ref_seen:  # clipping can collapse offsets
+                continue
+            ref_seen.add(ref_idx)
+            k_ref = np.linalg.inv(dataset.pixtocams[ref_idx])
+            pix, mask = warp_image(
+                dataset.camtoworlds[ref_idx] @ GL_TO_CV,
+                dataset.virtual_poses[vidx] @ GL_TO_CV,
+                dataset.disp_images[ref_idx], k_ref)
+            ys, xs = np.nonzero(mask)
+            if len(ys) < 32:
+                continue
+            sel = rng.integers(0, len(ys), min(pool_per_pair, len(ys)))
+            ry, rx = ys[sel], xs[sel]
+            sx = np.clip(np.round(pix[ry, rx, 0]).astype(np.int32), 0,
+                         dataset.width - 1)
+            sy = np.clip(np.round(pix[ry, rx, 1]).astype(np.int32), 0,
+                         dataset.height - 1)
+            out["src_cam_idx"].append(np.full(len(sel), vidx, np.int32))
+            out["src_px"].append(sx)
+            out["src_py"].append(sy)
+            out["ref_idx"].append(np.full(len(sel), ref_idx, np.int32))
+            out["ref_px"].append(rx.astype(np.int32))
+            out["ref_py"].append(ry.astype(np.int32))
+            pairs += 1
+            if max_pairs and pairs >= max_pairs:
+                break
         if max_pairs and pairs >= max_pairs:
             break
     if pairs == 0:

@@ -60,6 +60,96 @@ def visualize_cmap(value, weight, colormap="turbo", lo=None, hi=None,
     return colorized
 
 
+def visualize_rays(dist, dist_range, weights, rgbs, accumulate=False,
+                   renormalize=False, resolution=512, bg_color=0.8):
+    """Ray-histogram strip image (vis.py:100-153).
+
+    Each sampling level's step functions (per-ray knots `dist`, values
+    `weights`/`rgbs`) are resampled onto a common `resolution`-bin axis and
+    stacked into an image: one pixel row per (ray, level), color = rgb,
+    alpha = weight, matted over `bg_color`.
+
+    Args:
+      dist: list per level of [n, S_l + 1] sorted knots.
+      dist_range: (lo, hi) of the common axis.
+      weights: list per level of [n, S_l].
+      rgbs: list per level of [n, S_l, 3] (values in [0, 1]).
+
+    Returns:
+      (vis [rows, resolution, 3], alpha [rows, resolution]).
+    """
+    import jax.numpy as jnp
+
+    from ucnerf_tpu.ops import stepfun
+
+    dist_vis = np.linspace(*dist_range, resolution + 1).astype(np.float32)
+    rows_rgb, rows_alpha = [], []
+    n = dist[0].shape[0]
+    for ray in range(n):
+        for d, w, r in zip(dist, weights, rgbs):
+            dd = np.asarray(d[ray], np.float32)
+            ww = np.asarray(w[ray], np.float32)
+            rr = np.asarray(r[ray], np.float32)
+            if accumulate:
+                eps = np.finfo(np.float32).eps
+                w_csum = np.cumsum(ww, axis=0)
+                rw_csum = np.cumsum(rr * ww[:, None], axis=0)
+                rr = (rw_csum + eps) / (w_csum[:, None] + 2 * eps)
+                ww = w_csum
+            vis_r = np.asarray(stepfun.resample(
+                jnp.asarray(dist_vis)[None], jnp.asarray(dd)[None],
+                jnp.asarray(rr.T), use_avg=True)).T
+            vis_w = np.asarray(stepfun.resample(
+                jnp.asarray(dist_vis)[None], jnp.asarray(dd)[None],
+                jnp.asarray(ww)[None], use_avg=True))[0]
+            rows_rgb.append(vis_r)
+            rows_alpha.append(vis_w)
+        # Separator row between rays.
+        rows_rgb.append(np.zeros((resolution, 3), np.float32))
+        rows_alpha.append(np.zeros((resolution,), np.float32))
+    vis_rgb = np.stack(rows_rgb[:-1])
+    vis_alpha = np.stack(rows_alpha[:-1])
+    if renormalize:
+        vis_alpha = vis_alpha / max(np.finfo(np.float32).eps,
+                                    vis_alpha.max())
+    vis = (vis_rgb * vis_alpha[..., None]
+           + bg_color * (1 - vis_alpha)[..., None])
+    return vis, vis_alpha
+
+
+def visualize_ray_histograms(ray_history, num_rays=64, repeat=4):
+    """Assemble the two reference ray panels (vis.py:193-221) from a model's
+    ray_history: per-level colors along each ray, and sqrt-weight density.
+
+    ray_history: list per level of dicts with 'sdist' [n, S+1], 'weights'
+    [n, S] and channel-major 'rgb' [3, n, S] (prop levels carry no rgb —
+    white is substituted, as the reference plots ray_rgbs only for levels
+    that have them).
+    """
+    n = min(num_rays, ray_history[0]["sdist"].shape[0])
+    dist = [np.asarray(h["sdist"][:n]) for h in ray_history]
+    weights = [np.asarray(h["weights"][:n]) for h in ray_history]
+    rgbs = []
+    for h in ray_history:
+        if h.get("rgb") is not None:
+            rgbs.append(np.clip(
+                np.moveaxis(np.asarray(h["rgb"])[:, :n], 0, -1), 0, 1))
+        else:
+            rgbs.append(np.ones(weights[len(rgbs)].shape + (3,), np.float32))
+
+    ray_colors, _ = visualize_rays(dist, (0.0, 1.0), weights, rgbs)
+    sqrt_w = [np.sqrt(w) for w in weights]
+    ray_density, alpha = visualize_rays(
+        dist, (0.0, 1.0), [np.ones_like(w) for w in sqrt_w],
+        [np.repeat(w[..., None], 3, axis=-1) for w in sqrt_w], bg_color=0.0)
+    # Alpha==0 bins render red, like the reference's null_color.
+    ray_density = np.where(alpha[..., None] == 0,
+                           np.array([1.0, 0.0, 0.0]), ray_density)
+    rep = lambda img: np.repeat(img, repeat, axis=0)
+    return {"ray_colors": rep(ray_colors),
+            "ray_weights": rep(ray_density)}
+
+
 def visualize_suite(rendering):
     """Assemble the standard panel dict from a rendering (vis.py:156-246)."""
     out = {}
