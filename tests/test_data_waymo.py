@@ -250,3 +250,49 @@ def test_sample_batch_end_to_end(segment):
     assert batch["rgb"].shape == (64, 3)
     assert np.isfinite(batch["directions"]).all()
     assert set(batch["sky_segs"].astype(np.int64).tolist()) <= {0, 1}
+
+
+def test_nuscenes_variant_geometry(tmp_path_factory, monkeypatch):
+    """The NuScenes loader shares the Waymo on-disk contract but reads
+    1600x900 native frames, sky class 142, and its own frame count
+    (reference datasets.py:596-878 geometry)."""
+    root = str(tmp_path_factory.mktemp("nusc_seg"))
+    n_frames = 8
+    monkeypatch.setattr(datasets.NuScenesDataset, "NUM_FRAMES", n_frames)
+
+    intr = np.array([[1200.0, 0, 800.0], [0, 1200.0, 450.0], [0, 0, 1]])
+    observers = {}
+    for ci, oid in enumerate(CAM_OBSERVERS):
+        c2w = np.stack([np.eye(4)] * n_frames)
+        c2w[:, :3, 3] = np.stack([np.arange(n_frames) * 2.0,
+                                  np.full(n_frames, 0.5 * ci),
+                                  np.full(n_frames, 1.5)], -1)
+        observers[oid] = {"class_name": "Camera",
+                          "data": {"intr": np.tile(intr[None],
+                                                   (n_frames, 1, 1)),
+                                   "c2w": c2w}}
+    with open(os.path.join(root, "scenario.pt"), "wb") as f:
+        pickle.dump({"observers": observers}, f)
+    for ci, cam in enumerate(CAMS):
+        os.makedirs(os.path.join(root, "images", cam))
+        os.makedirs(os.path.join(root, "masks", cam))
+        for fidx in range(n_frames):
+            img = np.full((45, 80, 3), 40 + ci * 50, np.uint8)
+            Image.fromarray(img, "RGB").save(
+                os.path.join(root, "images", cam, f"{fidx:08d}.jpg"))
+            seg = np.zeros((45, 80), np.uint8)
+            seg[:10] = 142  # NuScenes sky class
+            np.savez(os.path.join(root, "masks", cam, f"{fidx:08d}.npz"),
+                     seg)
+
+    cfg = configs.Config(dataset_loader="nuscenes", data_dir=root,
+                         cam_type=6, factor=10, load_sky_segments=True,
+                         near=0.0, far=8.0)
+    train = datasets.load_dataset("train", cfg)
+    # 1600x900 native / factor 10.
+    assert (train.width, train.height) == (160, 90)
+    k = np.linalg.inv(train.pixtocams[0])
+    assert k[0, 0] == pytest.approx(1200.0 * 160 / 1600, rel=1e-5)
+    # Sky mask came from class 142.
+    assert np.all(train.sky_segments[:, :2] == 1.0)
+    assert np.all(train.sky_segments[:, 40:] == 0.0)

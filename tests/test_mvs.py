@@ -232,3 +232,18 @@ def test_fused_point_cloud_and_ply(tmp_path):
     data = open(path, "rb").read()
     assert data.startswith(b"ply")
     assert f"element vertex {len(xyz)}".encode() in data
+
+
+def test_temporal_offsets_sweep():
+    """Window source counts match the reference demo's 6/8/10 sweep
+    (demo_custom.py:33-44); offsets stay same-camera (multiples of
+    num_cams) and symmetric."""
+    from ucnerf_tpu.models.mvs.datasets import temporal_offsets
+
+    for nf in (6, 8, 10):
+        offs = temporal_offsets(nf, 3)
+        assert len(offs) == nf
+        assert np.all(offs % 3 == 0)
+        np.testing.assert_array_equal(offs, -offs[::-1])
+    np.testing.assert_array_equal(temporal_offsets(6, 3),
+                                  np.array([-3, -2, -1, 1, 2, 3]) * 3)

@@ -45,6 +45,11 @@ def main(argv=None):
     parser.add_argument("--num-cams", type=int, default=3)
     parser.add_argument("--rescales", type=float, nargs="+",
                         default=[0.5, 1.0])
+    parser.add_argument("--num-frames", type=int, nargs="+", default=None,
+                        help="temporal source count per pass, paired with "
+                             "--rescales (reference demo runs (0.5, 6), "
+                             "(1, 8), (2, 10); demo_custom.py:33-44). "
+                             "Defaults to 6 for every pass.")
     parser.add_argument("--limit", type=int, default=None)
     parser.add_argument("--encoder-type", default="HR")
     parser.add_argument("--fuse", action="store_true",
@@ -65,8 +70,13 @@ def main(argv=None):
         postprocess_disp)
     from ucnerf_tpu.models.mvs.raft import RAFTMVS
 
-    ds = WaymoMVSWindows(args.data_dir, args.pose_json,
-                         num_cams=args.num_cams)
+    nf_list = args.num_frames or [6] * len(args.rescales)
+    if len(nf_list) != len(args.rescales):
+        parser.error("--num-frames must pair 1:1 with --rescales")
+    ds_by_nf = {nf: WaymoMVSWindows(args.data_dir, args.pose_json,
+                                    num_cams=args.num_cams, num_frames=nf)
+                for nf in sorted(set(nf_list))}
+    ds = ds_by_nf[nf_list[-1]]  # final pass drives fusion bookkeeping
     os.makedirs(args.output, exist_ok=True)
 
     model = RAFTMVS(encoder_type=args.encoder_type)
@@ -81,9 +91,9 @@ def main(argv=None):
     ref_imgs, ref_poses, ref_ks, ref_depths = [], [], [], []
     name_to_index, pair_names = {}, []
     for index in range(n):
-        images, poses, intr, names, scale = ds[index]
         depths_at_scale = {}
-        for rescale in args.rescales:
+        for rescale, nf in zip(args.rescales, nf_list):
+            images, poses, intr, names, scale = ds_by_nf[nf][index]
             if rescale != 1.0:
                 import jax.image
                 h = int(images.shape[1] * rescale) // 8 * 8

@@ -22,6 +22,17 @@ import numpy as np
 from ucnerf_tpu.data import cameras as camlib
 
 
+def temporal_offsets(num_frames: int, num_cams: int) -> np.ndarray:
+    """Same-camera temporal source offsets for an MVS window.
+
+    +-{1..num_frames/2} frames of the same physical camera (waymo.py:76
+    uses 6 sources; the reference demo's 3 passes sweep 6/8/10 sources,
+    demo_custom.py:33-44)."""
+    half = max(num_frames // 2, 1)
+    return np.array([o for o in range(-half, half + 1) if o != 0],
+                    np.int64) * num_cams
+
+
 class WaymoMVSWindows:
     """Temporal windows over the Waymo segment for per-view depth."""
 
@@ -29,7 +40,7 @@ class WaymoMVSWindows:
     SCALE = 200.0  # waymo.py:98
 
     def __init__(self, data_dir: str, pose_json: str, num_cams: int = 3,
-                 window_stride: int = 3):
+                 window_stride: int = 3, num_frames: int = 6):
         sensor_type = [f"cam_{i+1}" for i in range(num_cams)]
         self.data_dir = data_dir
         self.images_path: List[str] = []
@@ -70,8 +81,7 @@ class WaymoMVSWindows:
 
         self.num_cams = num_cams
         self.window_stride = window_stride
-        # +-{1,2,3} same-camera temporal offsets (waymo.py:76).
-        self.offsets = np.array([-3, -2, -1, 1, 2, 3]) * num_cams
+        self.offsets = temporal_offsets(num_frames, num_cams)
 
     def __len__(self):
         return len(self.poses)
