@@ -13,7 +13,6 @@ same sharded jit program, and results concatenate on host.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -226,12 +225,18 @@ def _make_host_microbatch_step(config: Config, grad_fn, tx, mesh, num_micro):
 
 def make_eval_step(model: UCNeRFModel, config: Config, mesh=None,
                    compute_extras=True):
-    """Build the jitted eval render step over one ray chunk."""
+    """Build the jitted eval render step over one ray chunk.
+
+    eval_camidx is a TRACED int32 scalar, not a static argument: the eval
+    CLI remaps every test image to a different training latent
+    (cli/eval._eval_camidx), and a static camidx forced one full XLA
+    recompile per test image (~minutes each on the canonical architecture).
+    """
     def eval_step(params, batch, train_frac, eval_camidx):
         renderings, ray_history = model.apply(
             {"params": params}, None, batch, train_frac,
             compute_extras=compute_extras, train=False,
-            eval_camidx=eval_camidx)
+            eval_camidx=jnp.asarray(eval_camidx, jnp.int32))
         out = dict(renderings[-1])
         out.pop("weights", None)
         out.pop("sky_rgbs", None)
@@ -239,13 +244,12 @@ def make_eval_step(model: UCNeRFModel, config: Config, mesh=None,
         out.pop("affine_trans_sky", None)
         return out
 
-    static = functools.partial(jax.jit, static_argnums=(3,))
     if mesh is None:
-        return static(eval_step)
+        return jax.jit(eval_step)
     repl = meshlib.replicated_sharding(mesh)
     data = meshlib.batch_sharding(mesh)
-    return jax.jit(eval_step, in_shardings=(repl, data, repl),
-                   out_shardings=repl, static_argnums=(3,))
+    return jax.jit(eval_step, in_shardings=(repl, data, repl, repl),
+                   out_shardings=repl)
 
 
 def render_image(eval_step, params, batch, config: Config, train_frac=1.0,
