@@ -73,6 +73,9 @@ def main(argv=None):
     nf_list = args.num_frames or [6] * len(args.rescales)
     if len(nf_list) != len(args.rescales):
         parser.error("--num-frames must pair 1:1 with --rescales")
+    if len(set(zip(args.rescales, nf_list))) != len(args.rescales):
+        parser.error("duplicate (rescale, num-frames) pass: each pass must "
+                     "be distinct or it would fuse with itself")
     ds_by_nf = {nf: WaymoMVSWindows(args.data_dir, args.pose_json,
                                     num_cams=args.num_cams, num_frames=nf)
                 for nf in sorted(set(nf_list))}
@@ -91,7 +94,9 @@ def main(argv=None):
     ref_imgs, ref_poses, ref_ks, ref_depths = [], [], [], []
     name_to_index, pair_names = {}, []
     for index in range(n):
-        depths_at_scale = {}
+        # Keyed by pass index: duplicate rescale values (e.g. two passes at
+        # 1.0 with different --num-frames) must stay distinct passes.
+        pass_depths = []
         for rescale, nf in zip(args.rescales, nf_list):
             images, poses, intr, names, scale = ds_by_nf[nf][index]
             if rescale != 1.0:
@@ -116,14 +121,12 @@ def main(argv=None):
             depth = np.asarray(postprocess_disp(disp))
             print(f"{names[0]} rescale={rescale}: per view time "
                   f"{time.time() - t0:.2f}s")
-            depths_at_scale[rescale] = depth
+            pass_depths.append(depth)
 
-        if len(args.rescales) >= 2:
-            d_half = depths_at_scale[args.rescales[0]]
-            d_full = depths_at_scale[args.rescales[-1]]
-            fused = multires_fusion(d_half, d_full)
+        if len(pass_depths) >= 2:
+            fused = multires_fusion(pass_depths[0], pass_depths[-1])
         else:
-            fused = depths_at_scale[args.rescales[0]]
+            fused = pass_depths[0]
         np.save(os.path.join(args.output, f"{names[0]}.npy"),
                 fused.astype(np.float32))
         if args.fuse:

@@ -60,6 +60,14 @@ def main(argv=None):
                 dataset.n_examples, test_dataset.n_examples,
                 dataset.width, dataset.height)
 
+    if config.optimize_cameras and dataset.cam_num > config.num_phys_cams:
+        # jnp.take in se3_apply clamps out-of-range phys_cam_idx, which would
+        # silently alias cameras >= num_phys_cams onto the last se(3) delta.
+        raise ValueError(
+            f"optimize_cameras: dataset has {dataset.cam_num} physical "
+            f"cameras but Config.num_phys_cams={config.num_phys_cams}; set "
+            f"num_phys_cams={dataset.cam_num} (e.g. cam_type=7 -> 5).")
+
     example = dataset.sample_batch(np.random.default_rng(0), 16)
     model, params = step_lib.init_model(config, jax.random.PRNGKey(0),
                                         example)

@@ -383,9 +383,14 @@ class WaymoV2Dataset(RayDataset):
     def _load_renderings(self, config: Config):
         from PIL import Image
 
-        # Native sensor size, downsampled by config.factor (the reference
-        # trains Waymo at factor 4 -> 480x320; nerf/internal/datasets.py:262-276
-        # and nerf/configs/waymo.gin:3).
+        # Native sensor size.  DELIBERATE DEVIATION: the reference's WaymoV2
+        # loader hardcodes width=1920/height=1280 and never applies
+        # Config.factor (nerf/internal/datasets.py:896-917; the waymo.gin
+        # factor=4 is dead for that loader), so the reference trains Waymo at
+        # native resolution.  We honor ``factor`` as a documented knob (small
+        # fixtures in tests, memory-bounded runs); ``factor=1`` reproduces the
+        # reference's resolution exactly and is the default of the ``waymo``
+        # presets (configs.waymo).
         native_w, native_h = getattr(self, "_size_override", (1920, 1280))
         factor = max(int(config.factor), 1)
         self.width, self.height = native_w // factor, native_h // factor

@@ -216,6 +216,12 @@ class UCNeRFModel(nn.Module):
             renderings.append(level_render)
             ray_results["sdist"] = sdist
             ray_results["weights"] = weights
+            if is_prop:
+                # disable_rgb prop MLPs emit zeros [3,R,S] as a compositing
+                # placeholder; drop them from the history so vis substitutes
+                # white (the reference plots ray_rgbs only for levels that
+                # have them, vis.py:193-221).
+                ray_results["rgb"] = None
             ray_history.append(ray_results)
 
         # Sky layer: render beyond the far plane, composite with (1 - acc)

@@ -66,6 +66,89 @@ def superpoint_scores(semi):
     return prob
 
 
+def load_superpoint_params(path):
+    """Load the npz written by tools/convert_superpoint_weights.py into the
+    flax variables dict of ``SuperPointNet``."""
+    data = np.load(path)
+    params = {}
+    for key in data.files:
+        layer, kind = key.split("/")
+        params.setdefault(layer, {})[kind] = jnp.asarray(data[key])
+    return {"params": params}
+
+
+def _max_pool_same(x, radius):
+    """Max over a (2r+1)^2 window, 'same' padding (superpoint.py:8-11)."""
+    k = 2 * radius + 1
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, k, k), (1, 1, 1),
+        [(0, 0), (radius, radius), (radius, radius)])
+
+
+def simple_nms(scores, nms_radius=4):
+    """The reference's two-round suppression NMS (superpoint.py:5-21):
+    keep window maxima, zero everything else."""
+    zeros = jnp.zeros_like(scores)
+    max_mask = scores == _max_pool_same(scores, nms_radius)
+    for _ in range(2):
+        supp_mask = _max_pool_same(max_mask.astype(scores.dtype),
+                                   nms_radius) > 0
+        supp_scores = jnp.where(supp_mask, zeros, scores)
+        new_max_mask = supp_scores == _max_pool_same(supp_scores, nms_radius)
+        max_mask = max_mask | (new_max_mask & ~supp_mask)
+    return jnp.where(max_mask, scores, zeros)
+
+
+def _sample_descriptors(keypoints_xy, desc_coarse, s=8):
+    """Bilinear-sample the coarse [h, w, C] descriptor map at full-res
+    keypoint (x, y) coords, L2-normalized (superpoint.py:35-46 semantics,
+    align_corners=True)."""
+    h, w, _ = desc_coarse.shape
+    kp = np.asarray(keypoints_xy, np.float32) - s / 2 + 0.5
+    gx = (kp[:, 0] / (w * s - s / 2 - 0.5)) * 2 - 1
+    gy = (kp[:, 1] / (h * s - s / 2 - 0.5)) * 2 - 1
+    # align_corners=True grid coords.
+    fx = np.clip((gx + 1) / 2 * (w - 1), 0, w - 1)
+    fy = np.clip((gy + 1) / 2 * (h - 1), 0, h - 1)
+    x0 = np.clip(np.floor(fx).astype(np.int32), 0, w - 1)
+    y0 = np.clip(np.floor(fy).astype(np.int32), 0, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    dm = np.asarray(desc_coarse)
+    wx = (fx - x0)[:, None]
+    wy = (fy - y0)[:, None]
+    d = (dm[y0, x0] * (1 - wx) * (1 - wy) + dm[y0, x1] * wx * (1 - wy)
+         + dm[y1, x0] * (1 - wx) * wy + dm[y1, x1] * wx * wy)
+    n = np.linalg.norm(d, axis=-1, keepdims=True)
+    return (d / np.maximum(n, 1e-8)).astype(np.float32)
+
+
+def superpoint_detect_and_describe(variables, gray, max_keypoints=1024,
+                                   nms_radius=4, keypoint_threshold=0.005,
+                                   border=4):
+    """SuperPoint keypoints + descriptors for one grayscale image [H, W] in
+    [0, 1].  Returns ([K, 2] (x, y) int coords, [K, 256] unit descriptors),
+    replicating the reference's decode path (superpoint.py:104-151): softmax
+    heatmap, simple_nms, threshold, border removal, top-k, bilinear
+    descriptor sampling."""
+    gray = jnp.asarray(gray, jnp.float32)
+    h_full, w_full = gray.shape
+    semi, desc = SuperPointNet().apply(variables, gray[None, :, :, None])
+    scores = simple_nms(superpoint_scores(semi), nms_radius)[0]
+    scores = np.asarray(scores[:h_full, :w_full])
+    ys, xs = np.nonzero(scores > keypoint_threshold)
+    vals = scores[ys, xs]
+    keep = ((xs >= border) & (xs < w_full - border)
+            & (ys >= border) & (ys < h_full - border))
+    xs, ys, vals = xs[keep], ys[keep], vals[keep]
+    if len(vals) > max_keypoints:
+        order = np.argsort(-vals)[:max_keypoints]
+        xs, ys = xs[order], ys[order]
+    kps = np.stack([xs, ys], -1).astype(np.int32)
+    descs = _sample_descriptors(kps, np.asarray(desc[0]))
+    return kps, descs
+
+
 def _sobel(img):
     kx = jnp.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], jnp.float32) / 8
     ky = kx.T

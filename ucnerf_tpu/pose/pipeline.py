@@ -71,7 +71,8 @@ def decompose_rig(w2c, num_frames, num_cams, ref_cam=0):
 def refine_poses(images_gray, w2c_init, intrinsics, num_frames, num_cams,
                  *, max_keypoints=1024, match_ratio=0.8, epipolar_px=4.0,
                  tri_max_error=4.0, ba_iterations=40, huber_px=4.0,
-                 fix_trans_refine_rot=True, detector=None, verbose=False):
+                 fix_trans_refine_rot=True, detector=None,
+                 superpoint_path=None, verbose=False):
     """Run the full STPR refinement.
 
     Args:
@@ -81,12 +82,19 @@ def refine_poses(images_gray, w2c_init, intrinsics, num_frames, num_cams,
       intrinsics: [N, 3, 3].
       detector: optional callable(gray) -> (kps [K,2], descs [K,D]);
         defaults to the Harris/patch detector.
+      superpoint_path: optional path to the npz written by
+        tools/convert_superpoint_weights.py — uses the learned SuperPoint
+        detector (the reference's default, SuperPointDetectors.py:14-64).
 
     Returns:
       dict with refined w2c [N, 4, 4], points [P, 3], stats.
     """
     n = len(images_gray)
     assert n == num_frames * num_cams
+    if detector is None and superpoint_path is not None:
+        sp_vars = features.load_superpoint_params(superpoint_path)
+        detector = lambda g: features.superpoint_detect_and_describe(
+            sp_vars, g, max_keypoints=max_keypoints)
     detector = detector or (
         lambda g: features.detect_and_describe(g, max_keypoints))
 

@@ -16,8 +16,8 @@ import numpy as np
 
 
 def _colormap_lut(name: str, n: int = 256) -> np.ndarray:
-    import matplotlib.cm as cm
-    return np.asarray(cm.get_cmap(name)(np.linspace(0, 1, n)))[:, :3]
+    import matplotlib
+    return np.asarray(matplotlib.colormaps[name](np.linspace(0, 1, n)))[:, :3]
 
 
 def apply_colormap(x, cmap: str = "turbo"):
