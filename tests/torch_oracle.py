@@ -226,3 +226,34 @@ def load():
         train_utils=ref_train_utils,
     )
     return _cached
+
+
+_models_cached = None
+
+
+def load_models(grid_encoder_cls):
+    """Import the reference's composed model layer (``internal.models``,
+    models.py:31-365) with ``grid_encoder_cls`` standing in for the CUDA
+    GridEncoder.  The class must honor the GridEncoder ctor signature
+    (grid.py:97-149) and expose forward/output_dim/num_levels/grid_sizes/
+    embeddings/idx/init_std.
+
+    Returns the ``internal.models`` module.  The encoder class is installed
+    once; callers share the first-installed class (tests pass the same
+    deterministic mock).
+    """
+    global _models_cached
+    load()
+    if _models_cached is not None:
+        return _models_cached
+    sys.modules["gridencoder"].GridEncoder = grid_encoder_cls
+
+    from internal import models as ref_models
+
+    # internal.models is already imported during load() (train_utils.py:10
+    # imports it), with `from gridencoder import GridEncoder` bound to the
+    # raising stub — rebind the module-level name to the working mock.
+    ref_models.GridEncoder = grid_encoder_cls
+
+    _models_cached = ref_models
+    return _models_cached
