@@ -1,0 +1,113 @@
+"""Worker for the real 2-process CPU test (tests/test_multiprocess.py).
+
+Each process mirrors cli/train.py's multi-host flow exactly: distributed
+init -> mesh over the global devices -> per-process local sampling ->
+shard_local_batch -> sharded train step -> fetch_to_host, then writes its
+observations to a JSON file the parent asserts on.
+
+Run:  python tests/multiprocess_worker.py <port> <pid> <nprocs> <outdir>
+"""
+
+import json
+import os
+import sys
+
+
+def make_local_batch(pid, n, num_procs, config):
+    """Deterministic per-process batch slice: the parent reconstructs the
+    global batch as concat of slices, so seeding is a pure function of pid."""
+    import numpy as np
+
+    rng = np.random.default_rng(1000 + pid)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o = rng.uniform(-0.5, 0.5, size=(n, 3)).astype(np.float32)
+    return {
+        "origins": o,
+        "directions": d.copy(),
+        "viewdirs": d.copy(),
+        "cam_dirs": d.copy(),
+        "radii": np.full((n, 1), 1e-3, np.float32),
+        "near": np.full((n, 1), config.near, np.float32),
+        "far": np.full((n, 1), config.far, np.float32),
+        "cam_idx": rng.integers(0, 4, n).astype(np.int32),
+        "phys_cam_idx": rng.integers(0, 3, n).astype(np.int32),
+        "lossmult": np.ones((n, 1), np.float32),
+        "rgb": rng.uniform(0, 1, (n, 3)).astype(np.float32),
+        "sky_segs": np.zeros((n,), np.float32),
+    }
+
+
+def main():
+    port, pid, nprocs, outdir = (sys.argv[1], int(sys.argv[2]),
+                                 int(sys.argv[3]), sys.argv[4])
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(f"localhost:{port}", nprocs, pid)
+    assert jax.process_count() == nprocs, jax.process_count()
+    assert jax.process_index() == pid
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ucnerf_tpu import configs
+    from ucnerf_tpu.parallel import mesh as meshlib
+    from ucnerf_tpu.train import state as state_lib
+    from ucnerf_tpu.train import step as step_lib
+
+    cfg = configs.tiny()
+    mesh = meshlib.create_mesh()
+    assert mesh.devices.size == nprocs  # one CPU device per process
+
+    model, params = step_lib.init_model(cfg, jax.random.PRNGKey(0))
+    state = state_lib.create_train_state(cfg, params)
+    train_step = step_lib.make_train_step(model, cfg, mesh=mesh)
+
+    global_bs = 64
+    local = make_local_batch(pid, global_bs // nprocs, nprocs, cfg)
+    batch = meshlib.shard_local_batch(local, mesh)
+
+    key = jax.random.PRNGKey(5678)
+    state, stats = train_step(state, batch, key, jnp.float32(0.5))
+    loss = float(meshlib.fetch_to_host(stats["loss"]))
+
+    # A trained param leaf, fetched on every process (replicated output).
+    leaf = meshlib.fetch_to_host(
+        state.params["nerf_mlp"]["density_hidden"]["kernel"])
+
+    # Eval path over the same mesh (out_shardings replicated).  Uses
+    # state.params: the original init params were donated into the train
+    # step (cli/train.py renders from the live state the same way).
+    eval_step = step_lib.make_eval_step(model, cfg, mesh=mesh)
+    out = eval_step(state.params, batch, 1.0, 0)
+    rgb = meshlib.fetch_to_host(out["rgb"])
+
+    # And a deliberately process-sharded output: exercises fetch_to_host's
+    # process_allgather branch (mesh.py:144-156).
+    sharded_id = jax.jit(lambda x: x * 2.0,
+                         out_shardings=meshlib.batch_sharding(mesh))
+    y = sharded_id(batch["rgb"])
+    assert not y.is_fully_addressable
+    y_full = meshlib.fetch_to_host(y)
+
+    result = {
+        "pid": pid,
+        "process_count": jax.process_count(),
+        "is_main": meshlib.is_main_process(),
+        "loss": loss,
+        "param_sum": float(np.sum(leaf)),
+        "param_head": np.asarray(leaf).ravel()[:4].tolist(),
+        "rgb_sum": float(np.sum(rgb)),
+        "rgb_shape": list(np.asarray(rgb).shape),
+        "sharded_fetch_shape": list(y_full.shape),
+        "sharded_fetch_sum": float(np.sum(y_full)),
+    }
+    with open(os.path.join(outdir, f"proc{pid}.json"), "w") as f:
+        json.dump(result, f)
+    print(f"proc {pid} done", flush=True)
+
+
+if __name__ == "__main__":
+    main()
