@@ -119,6 +119,15 @@ def main(argv=None):
             disp = run(params, jnp.asarray(imgs), jnp.asarray(poses),
                        jnp.asarray(k), jnp.float32(scale))
             depth = np.asarray(postprocess_disp(disp))
+            # RAFT predicts at 1/4 ("HR") or 1/8 feature resolution
+            # (raft.py:49-52); the NeRF loader consumes depth at image
+            # resolution without resizing (datasets.py:1066-1073, the
+            # resize is commented out upstream — their npy files were
+            # pre-upsampled offline).  Emit loader-ready files directly.
+            full_hw = (images.shape[1], images.shape[2])
+            if depth.shape != full_hw:
+                depth = np.asarray(jax.image.resize(
+                    jnp.asarray(depth), full_hw, "nearest"))
             print(f"{names[0]} rescale={rescale}: per view time "
                   f"{time.time() - t0:.2f}s")
             pass_depths.append(depth)

@@ -60,6 +60,16 @@ def main(argv=None):
                 dataset.n_examples, test_dataset.n_examples,
                 dataset.width, dataset.height)
 
+    if (config.brightness_correction
+            and dataset.n_examples > config.training_views):
+        # Each training view owns a brightness latent (reference
+        # configs.py:61 sizes training_views=210 for 70 frame-groups x 3
+        # cams); too few latents would alias views onto clamped indices.
+        raise ValueError(
+            f"brightness_correction: {dataset.n_examples} training views "
+            f"but Config.training_views={config.training_views}; raise "
+            f"training_views to at least the train-split size.")
+
     if config.optimize_cameras and dataset.cam_num > config.num_phys_cams:
         # jnp.take in se3_apply clamps out-of-range phys_cam_idx, which would
         # silently alias cameras >= num_phys_cams onto the last se(3) delta.
@@ -119,7 +129,8 @@ def main(argv=None):
             logger.info("profiler trace written to %s/profile", exp)
         batch = dataset.sample_batch(rng, local_batch_size)
         batch = meshlib.shard_local_batch(batch, mesh)
-        train_frac = np.clip((step - 1) / (config.max_steps - 1), 0, 1)
+        train_frac = np.clip(
+            (step - 1) / max(config.max_steps - 1, 1), 0, 1)
         state, stats = train_step(state, batch, jax.random.fold_in(key, step),
                                   jnp.float32(train_frac))
 
