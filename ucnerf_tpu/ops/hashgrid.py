@@ -39,11 +39,29 @@ _PRIMES = (1, 2654435761, 805459861)
 # on TPU and XLA scatter elsewhere; tests may force 'pallas_interpret'.
 SCATTER_IMPL = "auto"
 
+# Forward gather implementation: 'auto' picks the Pallas windowed one-hot
+# MXU gather (ops/gather.py: one table pass + sorted streams instead of a
+# 4 KiB tile read per index) on TPU, XLA's native gather elsewhere; 'xla'
+# forces the native gather; tests may force 'pallas_interpret'.
+GATHER_IMPL = "auto"
+
+# Streams below this many lookups stay on the native gather — the windowed
+# kernel's fixed costs (two extra sorts + one table pass) only pay off once
+# the 4 KiB-per-index traffic dominates.
+_PALLAS_GATHER_MIN_M = 1 << 20
+
 
 def _use_pallas_scatter() -> bool:
     if SCATTER_IMPL == "auto":
         return jax.default_backend() == "tpu"
     return SCATTER_IMPL.startswith("pallas")
+
+
+def _use_pallas_gather(m: int) -> bool:
+    if GATHER_IMPL == "auto":
+        return (jax.default_backend() == "tpu"
+                and m >= _PALLAS_GATHER_MIN_M)
+    return GATHER_IMPL.startswith("pallas")
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
@@ -66,9 +84,18 @@ def _gather_rows(num_rows: int, sort_segments: int, gather_dtype, table,
     The cast lives inside this custom-vjp boundary: features are rounded,
     but table gradients are still scattered in exact f32.
     """
-    del num_rows, sort_segments
     if gather_dtype is not None:
         table = table.astype(gather_dtype)
+    m = int(np.prod(gidx.shape))
+    if _use_pallas_gather(m):
+        from ucnerf_tpu.ops import gather as gatherlib
+        return gatherlib.take_cm(
+            table, gidx,
+            span_rows=gatherlib.auto_span(num_rows, m),
+            two_pass=gather_dtype is None,
+            sort_segments=sort_segments if m % max(sort_segments, 1) == 0
+            else 1,
+            interpret=GATHER_IMPL == "pallas_interpret")
     return jnp.take(table, gidx, axis=1)
 
 
