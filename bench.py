@@ -28,7 +28,7 @@ import time
 BASELINE_R01_TRAIN_RAYS_PER_SEC = 8138.2
 
 
-def _measure_train(cfg, steps, warmup):
+def _measure_train(cfg, steps, warmup, roofline_out=None):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -58,9 +58,22 @@ def _measure_train(cfg, steps, warmup):
     # The state threads through every step, so fetching the final loss
     # forces the whole chain.
     final_loss = float(stats["loss"])
-    dt = time.perf_counter() - t0
+    dt = (time.perf_counter() - t0) / steps
     assert np.isfinite(final_loss), final_loss
-    return cfg.batch_size * steps / dt
+
+    if roofline_out is not None:
+        # MFU / HBM-utilization scoreboard (utils/roofline.py); compiling
+        # the cost-analysis replicas must not lose the rays/s number.
+        try:
+            from ucnerf_tpu.utils import roofline
+            flops, bytes_ = roofline.train_step_cost(cfg, model, params,
+                                                     state, batch)
+            roofline_out.update(roofline.metrics(
+                dt, flops, bytes_, roofline.gather_model(cfg)))
+        except Exception:  # pragma: no cover - backend-dependent
+            import traceback
+            traceback.print_exc()
+    return cfg.batch_size / dt
 
 
 def _measure_render(cfg, chunks, warmup):
@@ -118,24 +131,28 @@ def main():
 
     extra = {}
 
-    def record(key, fn, *fn_args):
+    def record(key, fn, *fn_args, **fn_kwargs):
         # A single measurement failing (e.g. a backend-compiler limit on one
         # program shape) must not lose the other numbers.
         import traceback
         try:
-            extra[key] = round(fn(*fn_args), 1)
+            extra[key] = round(fn(*fn_args, **fn_kwargs), 1)
         except Exception as exc:  # pragma: no cover - hardware-dependent
             traceback.print_exc()
             extra[key + "_error"] = f"{type(exc).__name__}"
 
     if args.only != "exact":
+        rf = {}
         record("train_rays_per_sec_flagship", _measure_train, flagship,
-               args.steps, args.warmup)
+               args.steps, args.warmup, roofline_out=rf)
+        extra.update({f"flagship_{k}": v for k, v in rf.items()})
         record("render_rays_per_sec_flagship", _measure_render, flagship,
                args.chunks, args.warmup)
     if args.only != "flagship":
+        rf = {}
         record("train_rays_per_sec_exact_hex", _measure_train, exact,
-               args.steps, args.warmup)
+               args.steps, args.warmup, roofline_out=rf)
+        extra.update({f"exact_{k}": v for k, v in rf.items()})
         record("render_rays_per_sec_exact_hex", _measure_render, exact,
                args.chunks, args.warmup)
 
