@@ -140,6 +140,9 @@ class Config:
     # is optimized jointly with the field — see models/cam_refine.py).
     optimize_cameras: bool = False
     num_phys_cams: int = 3
+    # LR multiplier for the se(3) camera deltas relative to the field LR
+    # (pose parameters diverge under the field's 0.01 Adam rate).
+    cam_lr_mult: float = 0.02
     # Model toggles.
     model_sky: bool = False
     brightness_correction: bool = False

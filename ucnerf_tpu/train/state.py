@@ -53,7 +53,14 @@ def _nan_to_num() -> optax.GradientTransformation:
 
 
 def create_optimizer(config: Config):
-    """Adam with the reference's betas/eps and scheduled LR."""
+    """Adam with the reference's betas/eps and scheduled LR.
+
+    Camera se(3) deltas (optimize_cameras) train at ``cam_lr_mult`` x the
+    field LR: radians/meters-scale pose parameters under the field's 0.01
+    Adam step rate overshoot by orders of magnitude (standard pose-refine
+    practice — BARF/CamP use 1e-3-scale pose rates against 1e-2 field
+    rates; confirmed by the recorded divergence in QUALITY_r03 prep runs).
+    """
     chain = [_nan_to_num()]
     if config.grad_max_val > 0:
         chain.append(optax.clip(config.grad_max_val))
@@ -61,6 +68,17 @@ def create_optimizer(config: Config):
         chain.append(optax.clip_by_global_norm(config.grad_max_norm))
     chain.append(optax.scale_by_adam(
         b1=config.adam_beta1, b2=config.adam_beta2, eps=config.adam_eps))
+    if config.optimize_cameras and config.cam_lr_mult != 1.0:
+        def cam_scale(updates, state, params=None):
+            del params
+            updates = {
+                k: (jax.tree.map(lambda u: u * config.cam_lr_mult, v)
+                    if k == "cam_refine" else v)
+                for k, v in updates.items()
+            }
+            return updates, state
+        chain.append(optax.GradientTransformation(
+            lambda params: optax.EmptyState(), cam_scale))
     chain.append(optax.scale_by_schedule(lr_schedule(config)))
     chain.append(optax.scale(-1.0))
     return optax.chain(*chain)
