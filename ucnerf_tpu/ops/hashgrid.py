@@ -39,16 +39,15 @@ _PRIMES = (1, 2654435761, 805459861)
 # on TPU and XLA scatter elsewhere; tests may force 'pallas_interpret'.
 SCATTER_IMPL = "auto"
 
-# Forward gather implementation: 'auto' picks the Pallas windowed one-hot
-# MXU gather (ops/gather.py: one table pass + sorted streams instead of a
-# 4 KiB tile read per index) on TPU, XLA's native gather elsewhere; 'xla'
-# forces the native gather; tests may force 'pallas_interpret'.
+# Forward gather implementation.  'auto' currently means the native XLA
+# gather everywhere: the Pallas blockwise one-hot MXU gather (ops/gather.py)
+# runs the gather PROPER 8.8x faster (0.68 vs 6.0 ns/lookup, v5e), but it
+# requires block-sorted index streams, and the measured sort + unsort cost
+# exceeds what the kernel saves at the model's stream densities — the
+# native gather already sits at 84% of HBM peak for its (8,128)-tile access
+# granularity (PERF_NOTES.md round 3; tools/probe_gather.py).  'pallas'
+# forces the kernel (experiments); tests force 'pallas_interpret'.
 GATHER_IMPL = "auto"
-
-# Streams below this many lookups stay on the native gather — the windowed
-# kernel's fixed costs (two extra sorts + one table pass) only pay off once
-# the 4 KiB-per-index traffic dominates.
-_PALLAS_GATHER_MIN_M = 1 << 20
 
 
 def _use_pallas_scatter() -> bool:
@@ -58,9 +57,7 @@ def _use_pallas_scatter() -> bool:
 
 
 def _use_pallas_gather(m: int) -> bool:
-    if GATHER_IMPL == "auto":
-        return (jax.default_backend() == "tpu"
-                and m >= _PALLAS_GATHER_MIN_M)
+    del m
     return GATHER_IMPL.startswith("pallas")
 
 
