@@ -69,8 +69,11 @@ def _gather_kernel(idx_ref, table_ref, out_ref,
 
     def cond(carry):
         j, _ = carry
+        # Clamped read: both operands of the logical_and evaluate, so the
+        # SMEM access must stay in bounds even at j == block_k.
+        jc = jnp.minimum(j, block_k - 1)
         return jnp.logical_and(j < block_k,
-                               idx_smem[0, j] < num_rows)
+                               idx_smem[0, jc] < num_rows)
 
     def body(carry):
         j, acc = carry
