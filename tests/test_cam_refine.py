@@ -204,3 +204,35 @@ def test_model_integration_gradients():
     gd = np.asarray(g["cam_refine"]["se3_deltas"])
     assert np.isfinite(gd).all()
     assert np.abs(gd).max() > 0
+
+
+def test_cam_lr_mult_scales_only_camera_updates():
+    """The optimizer applies cam_lr_mult to the se(3) deltas and leaves
+    every other parameter group at the field LR (train/state.py)."""
+    import optax
+    from ucnerf_tpu import configs
+    from ucnerf_tpu.train import state as state_lib
+
+    params = {
+        "cam_refine": {"se3_deltas": jnp.ones((3, 6))},
+        "nerf_mlp": {"kernel": jnp.ones((4, 4))},
+    }
+    grads = jax.tree.map(jnp.ones_like, params)
+
+    def updates_for(cfg):
+        tx = state_lib.create_optimizer(cfg)
+        st = tx.init(params)
+        upd, _ = tx.update(grads, st, params)
+        return upd
+
+    base = configs.tiny(optimize_cameras=True, cam_lr_mult=1.0)
+    scaled = configs.tiny(optimize_cameras=True, cam_lr_mult=0.02)
+
+    u1 = updates_for(base)
+    u2 = updates_for(scaled)
+    # Field updates identical; camera updates scaled by exactly the mult.
+    np.testing.assert_allclose(np.asarray(u2["nerf_mlp"]["kernel"]),
+                               np.asarray(u1["nerf_mlp"]["kernel"]))
+    np.testing.assert_allclose(
+        np.asarray(u2["cam_refine"]["se3_deltas"]),
+        np.asarray(u1["cam_refine"]["se3_deltas"]) * 0.02, rtol=1e-6)
