@@ -247,3 +247,16 @@ def test_temporal_offsets_sweep():
         np.testing.assert_array_equal(offs, -offs[::-1])
     np.testing.assert_array_equal(temporal_offsets(6, 3),
                                   np.array([-3, -2, -1, 1, 2, 3]) * 3)
+
+
+def test_mvs_training_converges():
+    """cli.mvs_train (the reference train.py:37-141 role) actually learns:
+    sequence loss over GT-disparity supervision decreases over a short tiny
+    run on the synthetic windows."""
+    from ucnerf_tpu.cli import mvs_train
+
+    losses = mvs_train.main(["--tiny", "--steps", "15",
+                             "--crop", "32", "48", "--lr", "1e-3"])
+    assert len(losses) == 15
+    assert np.isfinite(losses).all()
+    assert min(losses[-3:]) < losses[0], losses

@@ -75,10 +75,12 @@ def main(argv=None):
         return optax.apply_updates(p, updates), opt_state, loss, metrics
 
     t0 = time.time()
+    losses = []
     for step in range(args.steps):
         images, poses, intr, gt = get_batch(step)
         params, opt_state, loss, metrics = train_step(
             params, opt_state, images, poses, intr, gt)
+        losses.append(float(loss))
         if step % 10 == 0 or step == args.steps - 1:
             print(f"step {step}: loss={float(loss):.5f} "
                   f"mde={float(metrics['mean_depth_error']):.4f} "
@@ -88,6 +90,7 @@ def main(argv=None):
         with open(args.out, "wb") as f:
             f.write(to_bytes(params))
         print(f"wrote {args.out}")
+    return losses
 
 
 if __name__ == "__main__":
