@@ -13,7 +13,7 @@ import os
 import sys
 
 
-def make_local_batch(pid, n, num_procs, config):
+def make_local_batch(pid, n, config):
     """Deterministic per-process batch slice: the parent reconstructs the
     global batch as concat of slices, so seeding is a pure function of pid."""
     import numpy as np
@@ -66,7 +66,7 @@ def main():
     train_step = step_lib.make_train_step(model, cfg, mesh=mesh)
 
     global_bs = 64
-    local = make_local_batch(pid, global_bs // nprocs, nprocs, cfg)
+    local = make_local_batch(pid, global_bs // nprocs, cfg)
     batch = meshlib.shard_local_batch(local, mesh)
 
     key = jax.random.PRNGKey(5678)

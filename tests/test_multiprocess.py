@@ -78,7 +78,7 @@ def _single_process_reference():
     state = state_lib.create_train_state(cfg, params)
     train_step = step_lib.make_train_step(model, cfg)
 
-    locals_ = [make_local_batch(pid, 32, 2, cfg) for pid in range(2)]
+    locals_ = [make_local_batch(pid, 32, cfg) for pid in range(2)]
     batch = {k: np.concatenate([l[k] for l in locals_], axis=0)
              for k in locals_[0]}
     batch = jax.tree.map(jnp.asarray, batch)
