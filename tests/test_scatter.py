@@ -132,3 +132,51 @@ def test_scatter_segmented_sort():
                                  interpret=True, sort_segments=nseg)
     np.testing.assert_allclose(np.asarray(got), _oracle(vals, idx, rows),
                                atol=5e-5, rtol=5e-5)
+
+
+def test_chunked_scatter_matches_xla(rng):
+    """scatter_add_chunked_cm (chunk-local sorts + (tile, chunk)
+    accumulating grid) vs the XLA oracle — unsorted input, duplicates."""
+    from ucnerf_tpu.ops import scatter
+
+    rows, c, m = 5000, 4, 12288
+    vals = jnp.asarray(rng.normal(0, 1, (c, m)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, rows, m).astype(np.int32))
+    for chunks in (1, 4, 16):
+        got = scatter.scatter_add_chunked_cm(
+            vals, idx, rows, num_chunks=chunks, tile_rows=1024,
+            block_k=512, interpret=True)
+        want = scatter.scatter_add_xla(vals, idx, rows)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-4,
+                                   err_msg=f"chunks={chunks}")
+
+
+def test_chunked_scatter_uneven_chunk_padding(rng):
+    """chunk length not a block multiple: per-chunk sentinel padding."""
+    from ucnerf_tpu.ops import scatter
+
+    rows, c, m = 2048, 4, 6 * 300  # chunk=300 with block_k=256 -> pad 512
+    vals = jnp.asarray(rng.normal(0, 1, (c, m)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, rows, m).astype(np.int32))
+    got = scatter.scatter_add_chunked_cm(
+        vals, idx, rows, num_chunks=6, tile_rows=512, block_k=256,
+        interpret=True)
+    want = scatter.scatter_add_xla(vals, idx, rows)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-4)
+
+
+def test_chunked_scatter_concentrated_rows(rng):
+    """All updates hit a handful of rows across every chunk: the VMEM tile
+    accumulator must sum contributions from all chunks exactly."""
+    from ucnerf_tpu.ops import scatter
+
+    rows, c, m = 4096, 4, 8192
+    vals = jnp.asarray(np.ones((c, m), np.float32))
+    idx = jnp.asarray((rng.integers(0, 3, m) * 1500).astype(np.int32))
+    got = scatter.scatter_add_chunked_cm(
+        vals, idx, rows, num_chunks=8, tile_rows=1024, block_k=512,
+        interpret=True)
+    want = scatter.scatter_add_xla(vals, idx, rows)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4)

@@ -214,3 +214,177 @@ def scatter_add_xla(values, idx, num_rows: int):
     c = values.shape[0]
     out = jnp.zeros((c, num_rows), values.dtype)
     return out.at[:, idx].add(values)
+
+
+def _chunked_scatter_kernel(blk_lo_ref, nblk_ref, sidx_ref, sval_ref,
+                            out_ref, idx_buf, val_buf, acc, idx_sem, val_sem,
+                            *, block_k: int, tile_rows: int, channels: int):
+    """(tile, chunk) accumulating grid: the chunk axis varies fastest, so the
+    output tile stays VMEM-resident while every chunk's contribution for this
+    tile accumulates; the sort only needs to be valid WITHIN each chunk."""
+    t = pl.program_id(0)
+    g = pl.program_id(1)
+    num_chunks = pl.num_programs(1)
+    r_hi = tile_rows // _LANE
+
+    @pl.when(g == 0)
+    def _():
+        acc[...] = jnp.zeros_like(acc)
+
+    lo_blk = blk_lo_ref[t, g]
+    n = nblk_ref[t, g]
+    row0 = t * tile_rows
+
+    def get_dmas(slot, b):
+        start = (lo_blk + b) * block_k
+        cp_i = pltpu.make_async_copy(
+            sidx_ref.at[:, pl.ds(start, block_k)], idx_buf.at[slot],
+            idx_sem.at[slot])
+        cp_v = pltpu.make_async_copy(
+            sval_ref.at[:, pl.ds(start, block_k)], val_buf.at[slot],
+            val_sem.at[slot])
+        return cp_i, cp_v
+
+    @pl.when(n > 0)
+    def _():
+        cp_i, cp_v = get_dmas(0, 0)
+        cp_i.start()
+        cp_v.start()
+
+        def body(b, carry):
+            slot = jax.lax.rem(b, 2)
+
+            @pl.when(b + 1 < n)
+            def _():
+                ni, nv = get_dmas(jax.lax.rem(b + 1, 2), b + 1)
+                ni.start()
+                nv.start()
+
+            cp_i, cp_v = get_dmas(slot, b)
+            cp_i.wait()
+            cp_v.wait()
+
+            local = idx_buf[slot] - row0
+            hi = jax.lax.shift_right_arithmetic(local, 7)
+            lo = jax.lax.bitwise_and(local, _LANE - 1)
+            hi_iota = jax.lax.broadcasted_iota(
+                jnp.int32, (r_hi, block_k), 0)
+            hmask = (hi_iota == hi)
+            lo_iota = jax.lax.broadcasted_iota(
+                jnp.int32, (_LANE, block_k), 0)
+            w2 = (lo_iota == lo).astype(jnp.bfloat16)
+
+            vals = val_buf[slot]
+            a = jnp.where(hmask[None], vals[:, None, :], 0.0)
+            a = a.reshape(channels * r_hi, block_k)
+            a_hi = a.astype(jnp.bfloat16)
+            a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            dims = (((1,), (1,)), ((), ()))
+            out2 = jax.lax.dot_general(
+                a_hi, w2, dims, preferred_element_type=jnp.float32)
+            out2 += jax.lax.dot_general(
+                a_lo, w2, dims, preferred_element_type=jnp.float32)
+            acc[...] += out2.reshape(channels, r_hi * _LANE)
+            return carry
+
+        jax.lax.fori_loop(0, n, body, 0)
+
+    @pl.when(g == num_chunks - 1)
+    def _():
+        out_ref[...] = acc[...]
+
+
+@functools.partial(jax.jit, static_argnames=("num_rows", "num_chunks",
+                                             "tile_rows", "block_k",
+                                             "interpret"))
+def scatter_add_chunked_cm(values, idx, num_rows: int, *, num_chunks: int,
+                           tile_rows: int = 4096, block_k: int = 1024,
+                           interpret: bool = False):
+    """Deterministic scatter-add with CHUNK-LOCAL sorting (round-3
+    PERF_NOTES: backward sort granularity is a measured 19% step swing).
+
+    The stream splits into ``num_chunks`` equal contiguous chunks with NO
+    cross-chunk ordering requirement; each chunk is sorted independently —
+    as one batched ``lax.sort`` over the reshaped [G, M/G] view, which is
+    2-3x faster than one flat sort at G >= 32 — and the kernel grids over
+    (tile, chunk) with the output tile accumulating in VMEM across the
+    chunk axis.
+
+    MEASURED OUTCOME (PERF_NOTES round 3): at real scale (9.2M updates,
+    6.6M rows) the best configuration (G=24, tile 16384) runs 52.6 ms vs
+    scatter_add_cm's 36.0 ms — the (tile x chunk) grid's ~7 us/step fixed
+    cost exceeds the batched-sort savings, and the SMEM footprint of the
+    [T, G] block-range prefetch forces tiles >= 8192.  Kept as the
+    tested record of the design point; scatter_add_cm remains the
+    production path.
+
+    Requires M % num_chunks == 0.  Returns [C, num_rows] float32, bitwise
+    deterministic (fixed chunk order).
+    """
+    c, m = values.shape
+    assert tile_rows % _LANE == 0
+    assert m % num_chunks == 0, (m, num_chunks)
+    chunk = m // num_chunks
+    rows_pad = _round_up(num_rows, tile_rows)
+    num_tiles = rows_pad // tile_rows
+
+    # 1) Chunk-local sort, batched as ONE op over the [G, chunk] view.
+    ops = (idx.reshape(num_chunks, chunk),) + tuple(
+        values[ch].reshape(num_chunks, chunk) for ch in range(c))
+    sorted_ops = jax.lax.sort(ops, dimension=1, num_keys=1)
+    sidx2 = sorted_ops[0]                          # [G, chunk]
+    svals2 = jnp.stack(sorted_ops[1:], axis=0)     # [C, G, chunk]
+
+    # 2) Pad each chunk to whole blocks (sentinels land beyond every tile).
+    chunk_pad = _round_up(chunk, block_k)
+    if chunk_pad != chunk:
+        sidx2 = jnp.concatenate(
+            [sidx2, jnp.full((num_chunks, chunk_pad - chunk), rows_pad,
+                             jnp.int32)], axis=1)
+        svals2 = jnp.concatenate(
+            [svals2, jnp.zeros((c, num_chunks, chunk_pad - chunk),
+                               svals2.dtype)], axis=2)
+    sidx = sidx2.reshape(-1)
+    svals = svals2.reshape(c, -1)
+
+    # 3) Per-(tile, chunk) block ranges in the padded stream.
+    bounds = jnp.arange(num_tiles + 1, dtype=jnp.int32) * tile_rows
+    # starts[g, t] = first position in chunk g with row >= t*tile_rows.
+    starts = jax.vmap(
+        lambda s: jnp.searchsorted(s, bounds, side="left").astype(jnp.int32)
+    )(sidx2)                                        # [G, T+1]
+    base = (jnp.arange(num_chunks, dtype=jnp.int32) * chunk_pad)[:, None]
+    abs_starts = starts + base
+    blk_lo = abs_starts[:, :-1] // block_k          # [G, T]
+    has_any = starts[:, 1:] > starts[:, :-1]
+    blk_hi = jnp.where(has_any, (abs_starts[:, 1:] - 1) // block_k + 1,
+                       blk_lo)
+    nblk = (blk_hi - blk_lo).T.copy()               # [T, G]
+    blk_lo = blk_lo.T.copy()                        # [T, G]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles, num_chunks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (c, tile_rows), lambda t, g, *_: (0, t),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, 1, block_k), jnp.int32),
+            pltpu.VMEM((2, c, block_k), jnp.float32),
+            pltpu.VMEM((c, tile_rows), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_chunked_scatter_kernel, block_k=block_k,
+                          tile_rows=tile_rows, channels=c),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((c, rows_pad), jnp.float32),
+        interpret=interpret,
+    )(blk_lo, nblk, sidx[None, :], svals)
+    return out[:, :num_rows]
