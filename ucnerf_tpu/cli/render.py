@@ -12,6 +12,7 @@ Usage:
 
 from __future__ import annotations
 
+import dataclasses
 import os
 
 import numpy as np
@@ -21,8 +22,14 @@ def main(argv=None):
     from ucnerf_tpu.cli import common
 
     parser = common.make_parser(__doc__)
+    parser.add_argument(
+        "--path-type", default=None,
+        choices=["keyframe", "spiral", "ellipse", "spline"],
+        help="render trajectory generator (default: Config.render_path_type)")
     args = parser.parse_args(argv)
     config = common.load_config_from_args(args)
+    if args.path_type is not None:
+        config = dataclasses.replace(config, render_path_type=args.path_type)
     exp, logger = common.setup_experiment(config, "render")
 
     import jax
@@ -42,8 +49,10 @@ def main(argv=None):
     logger.info("rendering checkpoint at step %d", step)
 
     eval_step = step_lib.make_eval_step(model, config, mesh=mesh)
-    path_poses = paths.render_path_from_dataset(dataset,
-                                               config.render_path_frames)
+    path_poses = paths.generate_render_path(config.render_path_type, dataset,
+                                            config)
+    logger.info("path type %s: %d frames", config.render_path_type,
+                len(path_poses))
 
     out_dir = os.path.join(exp, "render", f"path_renders_step_{step}")
     os.makedirs(out_dir, exist_ok=True)

@@ -192,6 +192,14 @@ class Config:
     # Render.
     render_path_frames: int = 120
     render_video_fps: int = 60
+    # Path generator (data/paths.py; camera_utils.py:133-350):
+    # keyframe | spiral | ellipse | spline.
+    render_path_type: str = "keyframe"
+    render_path_z_variation: float = 0.0  # ellipse height variation
+    render_path_z_phase: float = 0.0      # ellipse height phase
+    render_spline_keyframes: int = 10     # spline: # keyframes from dataset
+    render_spline_degree: int = 5
+    render_spline_smoothness: float = 0.03
     # Nested model/MLP configs.
     model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
     nerf_mlp: MLPConfig = dataclasses.field(default_factory=MLPConfig)

@@ -67,10 +67,10 @@ class BrightnessCorrection(nn.Module):
     def __call__(self, indices):
         """indices: [N] int per-ray training-view ids -> [N, 3, 4] affines."""
         indices = indices.astype(jnp.int32)
-        # mode="clip": out-of-range view ids clamp on every backend (the TPU
-        # gather default); CPU's "fill" default would silently yield NaN
-        # latents.  cli/train.py validates training_views >= train views, so
-        # clamping only ever fires for deliberate eval_camidx remaps.
+        # mode="clip": jnp.take defaults to fill-with-NaN for out-of-range
+        # indices on every backend; clip restores the reference's clamping
+        # semantics.  cli/train.py validates training_views >= train views,
+        # so clamping only ever fires for deliberate eval_camidx remaps.
         latent = jnp.take(self.latent_code, indices, axis=0, mode="clip")
         affine = self.brightness_mlp(latent).reshape(indices.shape[0], 3, 4)
         if self.model_sky:

@@ -216,11 +216,12 @@ class UCNeRFModel(nn.Module):
             renderings.append(level_render)
             ray_results["sdist"] = sdist
             ray_results["weights"] = weights
-            if is_prop:
+            if is_prop and mlp.config.disable_rgb:
                 # disable_rgb prop MLPs emit zeros [3,R,S] as a compositing
                 # placeholder; drop them from the history so vis substitutes
                 # white (the reference plots ray_rgbs only for levels that
-                # have them, vis.py:193-221).
+                # have them, vis.py:193-221).  Prop MLPs configured with real
+                # rgb heads keep theirs.
                 ray_results["rgb"] = None
             ray_history.append(ray_results)
 

@@ -81,18 +81,23 @@ def _gather_rows(num_rows: int, sort_segments: int, gather_dtype, table,
     The cast lives inside this custom-vjp boundary: features are rounded,
     but table gradients are still scattered in exact f32.
     """
-    if gather_dtype is not None:
-        table = table.astype(gather_dtype)
     m = int(np.prod(gidx.shape))
     if _use_pallas_gather(m):
+        # Do NOT pre-cast the table here: the kernel's VMEM scratch is f32,
+        # and its single-pass (two_pass=False) mode already implements the
+        # bf16 rounding semantics via the hi-bf16 split.  Cast the OUTPUT
+        # instead so the feature dtype matches the XLA path.
         from ucnerf_tpu.ops import gather as gatherlib
-        return gatherlib.take_cm(
+        out = gatherlib.take_cm(
             table, gidx,
             span_rows=gatherlib.auto_span(num_rows, m),
             two_pass=gather_dtype is None,
             sort_segments=sort_segments if m % max(sort_segments, 1) == 0
             else 1,
             interpret=GATHER_IMPL == "pallas_interpret")
+        return out if gather_dtype is None else out.astype(gather_dtype)
+    if gather_dtype is not None:
+        table = table.astype(gather_dtype)
     return jnp.take(table, gidx, axis=1)
 
 

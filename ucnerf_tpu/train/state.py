@@ -68,6 +68,11 @@ def create_optimizer(config: Config):
         chain.append(optax.clip_by_global_norm(config.grad_max_norm))
     chain.append(optax.scale_by_adam(
         b1=config.adam_beta1, b2=config.adam_beta2, eps=config.adam_eps))
+    # NOTE: inserting cam_scale changes the opt_state pytree length, so a
+    # checkpoint saved with optimize_cameras on cannot be restored with it
+    # off (and vice versa).  This matches the reference, where enabling
+    # camera optimization also changes the optimizer param groups; flip the
+    # flag only at the start of a run.
     if config.optimize_cameras and config.cam_lr_mult != 1.0:
         def cam_scale(updates, state, params=None):
             del params
