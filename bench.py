@@ -121,12 +121,15 @@ def main():
     flagship = configs.parse_bindings(
         configs.waymo_tpu(batch_size=args.batch_size), args.binding)
     # Reference-exact hex encoding; host microbatches so the train program
-    # compiles (see module docstring), and a 2500-ray render chunk — the
-    # 6-hex forward at larger chunks is a ~3-6x bigger program than the flagship's and hits the
-    # same backend-compiler limit.
+    # compiles (see module docstring).  The render measures the CANONICAL
+    # 15000-ray chunk (reference models.py:943) via the in-graph sub-chunk
+    # scan: the monolithic 6-hex forward at chunk 15000 needs ~23 GB of
+    # activations (HBM OOM on one 16 GB v5e, PERF_NOTES round 3);
+    # render_subchunks=6 bounds the activation peak at 2500-ray scale while
+    # rendering the full chunk in ONE device program.
     exact = configs.parse_bindings(
         configs.waymo(batch_size=args.batch_size, host_microbatches=True,
-                      render_chunk_size=2500),
+                      render_chunk_size=15000, render_subchunks=6),
         args.binding)
 
     extra = {}

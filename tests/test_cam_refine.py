@@ -206,6 +206,44 @@ def test_model_integration_gradients():
     assert np.abs(gd).max() > 0
 
 
+def test_contract_origin_grads_unlocks_translation():
+    """Reference parity: the no-grad contraction blocks all photometric
+    gradient to ray ORIGINS, so the translation half of the se(3) deltas gets
+    exactly zero gradient (QUALITY_r03).  The contract_origin_grads deviation
+    opens it; rotation gradient must be nonzero in both modes."""
+    from ucnerf_tpu import configs
+    from ucnerf_tpu.train import losses as losses_lib
+    from ucnerf_tpu.train import step as step_lib
+
+    def trans_rot_grads(contract_origin_grads):
+        cfg = configs.tiny(optimize_cameras=True, num_phys_cams=2,
+                           max_steps=5, model_sky=False,
+                           contract_origin_grads=contract_origin_grads)
+        ds = datasets.load_dataset("train", cfg)
+        batch = ds.sample_batch(np.random.default_rng(0), 32)
+        model, params = step_lib.init_model(cfg, jax.random.PRNGKey(0),
+                                            batch)
+
+        def loss(p):
+            renderings, ray_history = model.apply(
+                {"params": p}, jax.random.PRNGKey(1),
+                jax.tree.map(jnp.asarray, batch), 0.5, train=True)
+            total, _, _ = losses_lib.compute_all_losses(
+                jax.tree.map(jnp.asarray, batch), renderings, ray_history,
+                cfg)
+            return total
+
+        gd = np.asarray(jax.grad(loss)(params)["cam_refine"]["se3_deltas"])
+        assert np.isfinite(gd).all()
+        return np.abs(gd[:, 3:]).max(), np.abs(gd[:, :3]).max()
+
+    t_off, r_off = trans_rot_grads(False)
+    t_on, r_on = trans_rot_grads(True)
+    assert t_off == 0.0, t_off  # reference semantics: origins get no grad
+    assert t_on > 0.0, t_on     # deviation: translation learnable
+    assert r_off > 0.0 and r_on > 0.0
+
+
 def test_cam_lr_mult_scales_only_camera_updates():
     """The optimizer applies cam_lr_mult to the se(3) deltas and leaves
     every other parameter group at the field LR (train/state.py)."""

@@ -62,6 +62,11 @@ class MLPConfig:
     # Matmul precision for the field's dense layers: None (float32) or
     # 'bfloat16' (MXU bf16 with f32 accumulation; params stay f32).
     compute_dtype: Optional[str] = None
+    # Let gradients flow through the contraction warp (documented deviation:
+    # the reference wraps it in no-grad, coord.py:75, which makes ray-origin
+    # translation unlearnable during camera refinement).  Set via
+    # Config.contract_origin_grads, which rewrites both MLP configs.
+    contract_grads: bool = False
     num_glo_features: int = 0
     num_glo_embeddings: int = 1000
     net_width_glo: int = 128
@@ -143,6 +148,12 @@ class Config:
     # LR multiplier for the se(3) camera deltas relative to the field LR
     # (pose parameters diverge under the field's 0.01 Adam rate).
     cam_lr_mult: float = 0.02
+    # Open the contraction warp's gradients (documented deviation from the
+    # reference's no-grad track_linearize, coord.py:75): photometric
+    # gradients then reach ray origins, making the TRANSLATION half of the
+    # se(3) camera deltas learnable (QUALITY_r03/r04).  Default off =
+    # reference parity.
+    contract_origin_grads: bool = False
     # Model toggles.
     model_sky: bool = False
     brightness_correction: bool = False
@@ -219,6 +230,14 @@ class Config:
     # Drive microbatches from host (one short device program each) instead of
     # one fused lax.scan — for environments with per-program runtime limits.
     host_microbatches: bool = False
+    # In-graph sub-chunking of the eval/render step: lax.map over
+    # render_subchunks slices of each render chunk, bounding the forward's
+    # activation peak at (chunk/sub) scale while keeping ONE dispatch.  The
+    # reference renders chunk 15000 sharded across multi-GPU hosts
+    # (models.py:943); the 6-point-hex forward at that chunk needs ~23 GB of
+    # activations on a single 16 GB chip — the scan makes the canonical
+    # chunk single-chip feasible.
+    render_subchunks: int = 1
 
 
 def waymo(**overrides) -> Config:

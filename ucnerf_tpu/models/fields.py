@@ -143,7 +143,9 @@ class ZipMLP(nn.Module):
         _, _, r, s = means.shape
         m = r * s
         if cfg.warp_fn is not None:
-            means, stds = coord.track_linearize_cm(cfg.warp_fn, means, stds)
+            means, stds = coord.track_linearize_cm(
+                cfg.warp_fn, means, stds,
+                stop_grads=not cfg.contract_grads)
             bound = 2.0  # contract() maps into the radius-2 ball.
             means = means / bound
             stds = stds / bound
@@ -207,7 +209,10 @@ class ZipMLP(nn.Module):
             # the hex points.  The reference differentiates w.r.t.
             # pre-contraction means with the contraction under no_grad
             # (models.py:551-567); grad w.r.t. `means` here matches because
-            # track_linearize stops gradients inside.
+            # track_linearize stops gradients inside.  (With the
+            # contract_grads deviation on, this grad additionally includes
+            # the contraction Jacobian — world-space rather than
+            # contracted-space normals.)
             def density_sum(mn):
                 return self.predict_density(mn, stds,
                                             keys.get("density"))[0].sum()

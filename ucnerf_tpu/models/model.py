@@ -49,11 +49,16 @@ class UCNeRFModel(nn.Module):
             "hashgrid_gather")
         field_cls = (nn.remat(ZipMLP, policy=remat_policy)
                      if cfg.remat_fields else ZipMLP)
-        self.nerf_mlp = field_cls(cfg.nerf_mlp, name="nerf_mlp")
+        import dataclasses as _dc
+        nerf_mlp_cfg, prop_mlp_cfg = cfg.nerf_mlp, cfg.prop_mlp
+        if cfg.contract_origin_grads:
+            nerf_mlp_cfg = _dc.replace(nerf_mlp_cfg, contract_grads=True)
+            prop_mlp_cfg = _dc.replace(prop_mlp_cfg, contract_grads=True)
+        self.nerf_mlp = field_cls(nerf_mlp_cfg, name="nerf_mlp")
         prop_mlps = []
         for i in range(mcfg.num_levels - 1):
             prop_mlps.append(field_cls(
-                cfg.prop_mlp.with_grid(mcfg.prop_desired_grid_size[i]),
+                prop_mlp_cfg.with_grid(mcfg.prop_desired_grid_size[i]),
                 name=f"prop_mlp_{i}"))
         self.prop_mlps = prop_mlps
         if cfg.model_sky:

@@ -56,18 +56,26 @@ def contract_mean_std(x, std):
     return z, std
 
 
-def track_linearize(fn, mean, std):
+def track_linearize(fn, mean, std, stop_grads=True):
     """Linearize `fn` around Gaussian (mean, std), Kalman-style.
 
-    Only the 'contract' warp is supported (as in the reference).  Gradients
-    are stopped through the warp, matching the reference's @torch.no_grad on
-    track_linearize (coord.py:75-116): sampling geometry is treated as fixed
-    w.r.t. the parameters being optimized.
+    Only the 'contract' warp is supported (as in the reference).  With
+    stop_grads=True (default) gradients are stopped through the warp,
+    matching the reference's @torch.no_grad on track_linearize
+    (coord.py:75-116): sampling geometry is treated as fixed w.r.t. the
+    parameters being optimized.  stop_grads=False is the documented TPU
+    deviation (Config.contract_origin_grads): the contraction is
+    differentiable, so photometric gradients reach the sample means — and
+    through them the ray ORIGINS — which is what per-camera translation
+    refinement needs (QUALITY_r03: translation is unlearnable under the
+    reference semantics).
     """
     if fn != "contract":
         raise NotImplementedError(fn)
     mean, std = contract_mean_std(mean, std)
-    return jax.lax.stop_gradient(mean), jax.lax.stop_gradient(std)
+    if stop_grads:
+        return jax.lax.stop_gradient(mean), jax.lax.stop_gradient(std)
+    return mean, std
 
 
 def contract_mean_std_cm(x, std):
@@ -85,12 +93,14 @@ def contract_mean_std_cm(x, std):
     return z, std
 
 
-def track_linearize_cm(fn, mean, std):
-    """Channel-major track_linearize (gradients stopped, as in the ref)."""
+def track_linearize_cm(fn, mean, std, stop_grads=True):
+    """Channel-major track_linearize (see track_linearize for stop_grads)."""
     if fn != "contract":
         raise NotImplementedError(fn)
     mean, std = contract_mean_std_cm(mean, std)
-    return jax.lax.stop_gradient(mean), jax.lax.stop_gradient(std)
+    if stop_grads:
+        return jax.lax.stop_gradient(mean), jax.lax.stop_gradient(std)
+    return mean, std
 
 
 def power_transformation(x, lam):

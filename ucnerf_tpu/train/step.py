@@ -232,7 +232,7 @@ def make_eval_step(model: UCNeRFModel, config: Config, mesh=None,
     (cli/eval._eval_camidx), and a static camidx forced one full XLA
     recompile per test image (~minutes each on the canonical architecture).
     """
-    def eval_step(params, batch, train_frac, eval_camidx):
+    def eval_one(params, batch, train_frac, eval_camidx):
         renderings, ray_history = model.apply(
             {"params": params}, None, batch, train_frac,
             compute_extras=compute_extras, train=False,
@@ -243,6 +243,22 @@ def make_eval_step(model: UCNeRFModel, config: Config, mesh=None,
         out.pop("affine_trans", None)
         out.pop("affine_trans_sky", None)
         return out
+
+    sub = max(config.render_subchunks, 1)
+
+    def eval_step(params, batch, train_frac, eval_camidx):
+        if sub == 1:
+            return eval_one(params, batch, train_frac, eval_camidx)
+        # In-graph sub-chunk scan: activation peak is one sub-chunk's, but
+        # the whole chunk renders in ONE device program (Config
+        # docstring; round-3 verdict item 4b).
+        n = batch["origins"].shape[0]
+        micro = jax.tree.map(
+            lambda x: x.reshape((sub, n // sub) + x.shape[1:]), batch)
+        out = jax.lax.map(
+            lambda mb: eval_one(params, mb, train_frac, eval_camidx), micro)
+        return jax.tree.map(
+            lambda x: x.reshape((n,) + x.shape[2:]), out)
 
     if mesh is None:
         return jax.jit(eval_step)
@@ -271,10 +287,13 @@ def render_image(eval_step, params, batch, config: Config, train_frac=1.0,
 
     chunk = config.render_chunk_size
     mesh_size = mesh.devices.size if mesh is not None else 1
+    # Chunks must split evenly into the in-graph sub-chunk scan too.
+    pad_multiple = mesh_size * max(config.render_subchunks, 1)
     outs = []
     for i0 in range(0, num_rays, chunk):
         chunk_batch = {k: v[i0:i0 + chunk] for k, v in flat.items()}
-        chunk_batch, pad = meshlib.pad_rays_to_multiple(chunk_batch, mesh_size)
+        chunk_batch, pad = meshlib.pad_rays_to_multiple(chunk_batch,
+                                                        pad_multiple)
         if mesh is not None:
             chunk_batch = meshlib.shard_batch(chunk_batch, mesh)
         out = eval_step(params, chunk_batch, train_frac, eval_camidx)
