@@ -180,3 +180,23 @@ def test_chunked_scatter_concentrated_rows(rng):
         interpret=True)
     want = scatter.scatter_add_xla(vals, idx, rows)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4)
+
+
+def test_partial_scatter_matches_xla(rng):
+    """scatter_add_partial_cm (per-level sub-chunk sorts + G partial tables
+    summed in XLA) vs the oracle — level-segmented indices, duplicates."""
+    from ucnerf_tpu.ops import scatter
+
+    rows, c, nseg, per = 4000, 4, 4, 1536
+    idx = np.concatenate([
+        rng.integers(s * 1000, s * 1000 + 1000, per) for s in range(nseg)
+    ]).astype(np.int32)
+    vals = rng.normal(0, 1, (c, nseg * per)).astype(np.float32)
+    want = scatter.scatter_add_xla(jnp.asarray(vals), jnp.asarray(idx), rows)
+    for chunks in (1, 2, 4):
+        got = scatter.scatter_add_partial_cm(
+            jnp.asarray(vals), jnp.asarray(idx), rows, num_chunks=chunks,
+            sort_segments=nseg, tile_rows=1024, block_k=512, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-4,
+                                   err_msg=f"chunks={chunks}")

@@ -66,10 +66,10 @@ def _gather_rows(num_rows: int, sort_segments: int, gather_dtype, table,
                  gidx):
     """Gather table columns: [C, rows], [...] int32 -> [C, ...].
 
-    Forward is XLA's native gather (fast on TPU).  The custom VJP replaces
-    the transpose — XLA's serial scatter-add, ~85 ns/update on v5e — with the
-    sort-based Pallas kernel in ``ops/scatter.py`` (the reference's CUDA
-    ``atomicAdd`` backward, gridencoder.cu:249-340, rebuilt TPU-native).
+    Forward is XLA's native gather.  The custom VJP replaces the transpose —
+    XLA's serial scatter-add, ~85 ns/update on v5e — with the sort-based
+    Pallas kernel in ``ops/scatter.py`` (the reference's CUDA ``atomicAdd``
+    backward, gridencoder.cu:249-340, rebuilt TPU-native).
 
     sort_segments: number of equal leading-axis segments of gidx whose index
     ranges are increasing (per-level slices of the packed table); the
@@ -121,6 +121,77 @@ def _gather_rows_bwd(num_rows, sort_segments, gather_dtype, gidx, g):
 
 
 _gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _gather_rows_ml(level_offsets, gather_dtype, table, gidx_lvl):
+    """Per-level sliced gathers: [C, rows], [L, seg] int32 -> L x [C, seg].
+
+    The v5e gather's per-lookup cost is set by the OPERAND's row extent, not
+    by the addresses touched: 11.7 ns/lookup over a 14.7M-row packed table
+    vs 5.5 ns for the IDENTICAL lookups issued as takes over the per-level
+    slices (tools/probe_gather_operand_size.py, PERF_NOTES round 4).  This
+    multi-output variant issues one take per level over that level's slice
+    and returns the parts UNCONCATENATED — concatenating them tempted XLA
+    into materializing a copy with the size-4 channel dim minormost (32x
+    lane padding: a 47 GB allocation at render chunk 15000).  Callers
+    consume each part level-by-level (weighted corner sums), so the full
+    [C, L*seg] array never needs to exist.
+
+    Backward: one batched sort + Pallas scatter over the packed table (the
+    same machinery as _gather_rows; per-level sort segments).
+
+    level_offsets: tuple of L+1 static row offsets; row l of gidx_lvl holds
+    GLOBAL indices within [level_offsets[l], level_offsets[l+1]).
+    """
+    num_levels = len(level_offsets) - 1
+    m = int(np.prod(gidx_lvl.shape))
+    if _use_pallas_gather(m):
+        from ucnerf_tpu.ops import gather as gatherlib
+        out = gatherlib.take_cm(
+            table, gidx_lvl.reshape(-1),
+            span_rows=gatherlib.auto_span(int(level_offsets[-1]), m),
+            two_pass=gather_dtype is None,
+            sort_segments=num_levels,
+            interpret=GATHER_IMPL == "pallas_interpret")
+        if gather_dtype is not None:
+            out = out.astype(gather_dtype)
+        seg = gidx_lvl.shape[1]
+        return tuple(out[:, l * seg:(l + 1) * seg]
+                     for l in range(num_levels))
+    if gather_dtype is not None:
+        table = table.astype(gather_dtype)
+    outs = []
+    for l in range(num_levels):
+        lo, hi = int(level_offsets[l]), int(level_offsets[l + 1])
+        sl = jax.lax.slice_in_dim(table, lo, hi, axis=1)
+        outs.append(jnp.take(sl, gidx_lvl[l] - jnp.int32(lo), axis=1))
+    return tuple(outs)
+
+
+def _gather_rows_ml_fwd(level_offsets, gather_dtype, table, gidx_lvl):
+    return _gather_rows_ml(level_offsets, gather_dtype, table,
+                           gidx_lvl), gidx_lvl
+
+
+def _gather_rows_ml_bwd(level_offsets, gather_dtype, gidx_lvl, gs):
+    num_levels = len(level_offsets) - 1
+    num_rows = int(level_offsets[-1])
+    c = gs[0].shape[0]
+    flat_g = jnp.concatenate(
+        [g.astype(jnp.float32) for g in gs], axis=1).reshape(c, -1)
+    flat_idx = gidx_lvl.reshape(-1)
+    if _use_pallas_scatter():
+        interp = SCATTER_IMPL == "pallas_interpret"
+        dtable = scatter.scatter_add_cm(flat_g, flat_idx, num_rows,
+                                        interpret=interp,
+                                        sort_segments=num_levels)
+    else:
+        dtable = scatter.scatter_add_xla(flat_g, flat_idx, num_rows)
+    return dtable, np.zeros(gidx_lvl.shape, jax.dtypes.float0)
+
+
+_gather_rows_ml.defvjp(_gather_rows_ml_fwd, _gather_rows_ml_bwd)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -413,22 +484,28 @@ def encode_hex_cm(x01, stds, table, spec: HashGridSpec, grid_sizes=None,
                 idx.astype(jnp.int32) + np.int32(spec.offsets[level]))
             w_parts.append(w)
 
-    gidx_all = jnp.stack(gidx_parts, axis=0)        # [L*8, H, M] int32
-    w_all = jnp.stack(w_parts, axis=0)              # [L*8, H, M]
-    rows_all = _gather_rows(spec.table_rows, spec.num_levels, gather_dtype,
-                            table, gidx_all)  # [C, L*8, H, M]
-    # Named so the remat policy keeps this (the expensive random HBM gather)
-    # instead of recomputing it in the backward pass.
-    rows_all = checkpoint_name(rows_all, "hashgrid_gather")
-    acc_all = jnp.sum(
-        (rows_all * w_all[None]).reshape(
-            c_dim, spec.num_levels, 8, hex_n, m),
-        axis=2)                                     # [C, L, H, M]
+    # One [L, 8*H*M] index array; level l's row holds its 8 corner streams.
+    gidx_lvl = jnp.stack(
+        [jnp.stack(gidx_parts[l * 8:(l + 1) * 8]).reshape(-1)
+         for l in range(spec.num_levels)], axis=0)
+    # Per-level sliced gathers (operand-extent effect, see _gather_rows_ml)
+    # returned as L separate [C, 8*H*M] parts; each is weighted-corner-summed
+    # immediately so the [C, L*8, H, M] monolith never materializes.
+    parts = _gather_rows_ml(spec.offsets, gather_dtype, table, gidx_lvl)
+
+    acc_levels = []
+    for level in range(spec.num_levels):
+        # Named so the remat policy keeps this (the expensive random HBM
+        # gather) instead of recomputing it in the backward pass.
+        rows = checkpoint_name(parts[level], "hashgrid_gather").reshape(
+            c_dim, 8, hex_n, m)
+        w_lvl = jnp.stack(w_parts[level * 8:(level + 1) * 8])  # [8, H, M]
+        acc_levels.append(jnp.sum(rows * w_lvl[None], axis=1))  # [C, H, M]
 
     feats = []
     wmeans = []
     for level in range(spec.num_levels):
-        acc = acc_all[:, level]
+        acc = acc_levels[level]
         w_erf = erf_levels[level]
         if hex_n == w_erf.shape[0]:
             # Hex mode: per-point erf weights, mean over the hex axis.

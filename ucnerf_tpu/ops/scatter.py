@@ -209,6 +209,49 @@ def scatter_add_cm(values, idx, num_rows: int, *, tile_rows: int = 4096,
     return out[:, :num_rows]
 
 
+@functools.partial(jax.jit, static_argnames=("num_rows", "num_chunks",
+                                             "sort_segments", "tile_rows",
+                                             "block_k", "interpret"))
+def scatter_add_partial_cm(values, idx, num_rows: int, *, num_chunks: int,
+                           sort_segments: int = 1, tile_rows: int = 4096,
+                           block_k: int = 1024, interpret: bool = False):
+    """Partial-table chunked scatter-add (round-3 PERF_NOTES' own sketch for
+    harvesting the backward-sort-granularity lever).
+
+    The stream's ``sort_segments`` level segments each split into
+    ``num_chunks`` sub-chunks; chunk g of every level concatenates into an
+    independent stream (still level-ordered, so per-segment sorts remain
+    valid) that scatters into its OWN partial table via the production
+    kernel; the G tables sum in XLA.  Finer sorts (seg/G elements each) are
+    cheaper per element; the price is G-1 extra kernel passes over the
+    table grid plus one G-way table reduction.
+
+    MEASURED OUTCOME (PERF_NOTES round 4): net negative at real scale — the
+    per-pass kernel grid cost (~1.6K tiles x ~3 us, paid G times) plus the
+    [G, C, rows] reduction exceeds the few-ms sort saving; recorded with the
+    arithmetic, closing the lever.  scatter_add_cm stays production.
+
+    Requires M % (sort_segments * num_chunks) == 0.
+    """
+    c, m = values.shape
+    ls = sort_segments * num_chunks
+    assert m % ls == 0, (m, sort_segments, num_chunks)
+    sub = m // ls
+    vals4 = values.reshape(c, sort_segments, num_chunks, sub)
+    idx3 = idx.reshape(sort_segments, num_chunks, sub)
+    partials = []
+    for g in range(num_chunks):
+        vg = vals4[:, :, g].reshape(c, -1)
+        ig = idx3[:, g].reshape(-1)
+        partials.append(scatter_add_cm(
+            vg, ig, num_rows, tile_rows=tile_rows, block_k=block_k,
+            interpret=interpret, sort_segments=sort_segments))
+    out = partials[0]
+    for p in partials[1:]:
+        out = out + p
+    return out
+
+
 def scatter_add_xla(values, idx, num_rows: int):
     """XLA reference implementation (the test oracle; slow on TPU)."""
     c = values.shape[0]
