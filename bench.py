@@ -127,9 +127,15 @@ def main():
     # activations (HBM OOM on one 16 GB v5e, PERF_NOTES round 3);
     # render_subchunks=6 bounds the activation peak at 2500-ray scale while
     # rendering the full chunk in ONE device program.
+    # microbatches=12 / subchunks=12: the 10-microbatch exact train step
+    # landed 46 MB over the 15.75 GB HBM budget after the per-level-gather
+    # change, and the 6-sub-chunk render peaked at 18.1 GB; 1250-ray
+    # programs fit both with margin (measured: train 1419 rays/s, render
+    # 3678 rays/s at the canonical chunk).
     exact = configs.parse_bindings(
         configs.waymo(batch_size=args.batch_size, host_microbatches=True,
-                      render_chunk_size=15000, render_subchunks=6),
+                      microbatches=12, render_chunk_size=15000,
+                      render_subchunks=12),
         args.binding)
 
     extra = {}

@@ -78,7 +78,8 @@ def residual_error(se3_deltas, delta):
     return rot, float(np.linalg.norm(resid[:3, 3]))
 
 
-def run(cfg, delta, steps, optimize, seed=0, log_every=0):
+def run(cfg, delta, steps, optimize, seed=0, log_every=0,
+        origin_grads=False):
     import jax
     import jax.numpy as jnp
 
@@ -88,7 +89,8 @@ def run(cfg, delta, steps, optimize, seed=0, log_every=0):
     from ucnerf_tpu.utils import image as image_lib
 
     cfg = dataclasses.replace(cfg, optimize_cameras=optimize,
-                              num_phys_cams=2, max_steps=steps)
+                              num_phys_cams=2, max_steps=steps,
+                              contract_origin_grads=origin_grads)
     train = datasets.load_dataset("train", cfg)
     test = datasets.load_dataset("test", cfg)
     for ds in (train, test):
@@ -142,6 +144,9 @@ def main():
     parser.add_argument("--trans", type=float, default=0.02)
     parser.add_argument("--binding", "-b", action="append", default=[])
     parser.add_argument("--log-every", type=int, default=100)
+    parser.add_argument("--arms", default="off,on",
+                        help="comma list from {off, on, on_og} (on_og = "
+                             "refinement + contract_origin_grads)")
     parser.add_argument("--cpu", action="store_true",
                         help="force the CPU backend (the axon plugin pins "
                              "jax_platforms at interpreter start, so the "
@@ -168,24 +173,31 @@ def main():
     tr0 = float(np.linalg.norm([args.trans, -args.trans, args.trans / 2]))
     print(f"injected miscalibration: rot={rot0:.2f} deg trans={tr0:.4f}")
 
+    all_arms = {
+        "off": dict(optimize=False),
+        "on": dict(optimize=True),
+        # The round-4 deviation arm: origin gradients opened so TRANSLATION
+        # is learnable (Config.contract_origin_grads; QUALITY_r04).
+        "on_og": dict(optimize=True, origin_grads=True),
+    }
+    arms = [a.strip() for a in args.arms.split(",")]
     results = {}
-    for optimize in (False, True):
-        name = "refine_on" if optimize else "refine_off"
-        print(f"--- {name}")
-        results[name] = run(cfg, delta, args.steps, optimize,
-                            log_every=args.log_every)
+    for name in arms:
+        print(f"--- refine_{name}")
+        results[name] = run(cfg, delta, args.steps,
+                            log_every=args.log_every, **all_arms[name])
         print(json.dumps({k: v for k, v in results[name].items()
                           if k != "se3_deltas"}))
 
-    on, off = results["refine_on"], results["refine_off"]
-    print(json.dumps({
-        "injected_rot_deg": rot0, "injected_trans": tr0,
-        "residual_rot_deg": on.get("residual_rot_deg"),
-        "residual_trans": on.get("residual_trans"),
-        "psnr_refine_on": on["psnr_mean"],
-        "psnr_refine_off": off["psnr_mean"],
-        "psnr_delta": round(on["psnr_mean"] - off["psnr_mean"], 3),
-    }))
+    summary = {"injected_rot_deg": rot0, "injected_trans": tr0}
+    for name in arms:
+        r = results[name]
+        summary[f"psnr_{name}"] = round(r["psnr_mean"], 3)
+        if r.get("residual_rot_deg") is not None:
+            summary[f"residual_rot_deg_{name}"] = round(
+                r["residual_rot_deg"], 4)
+            summary[f"residual_trans_{name}"] = round(r["residual_trans"], 5)
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":
