@@ -26,7 +26,7 @@ import numpy as np
 
 from ucnerf_tpu.ops import scatter
 
-ITERS = 8
+ITERS = int(os.environ.get("PROBE_ITERS", "4"))
 ROWS = 6_606_952
 NSEG = 6
 M = 9_216_000
