@@ -149,3 +149,66 @@ def test_encode_jit_and_batch_shapes():
     x = jnp.zeros((2, 3, 6, 3))
     out = jax.jit(lambda xx: hashgrid.encode(xx, table, spec))(x)
     assert out.shape == (2, 3, 6, spec.num_levels, spec.level_dim)
+
+
+def test_gather_rows_ml_matches_monolithic():
+    """_gather_rows_ml (per-level sliced takes, round-4 operand-extent win)
+    must equal the monolithic gather in values AND table gradients."""
+    import jax
+    import jax.numpy as jnp
+
+    from ucnerf_tpu.ops import hashgrid
+
+    rng = np.random.default_rng(7)
+    offsets = (0, 512, 2048, 6144)
+    rows = offsets[-1]
+    table = jnp.asarray(rng.normal(size=(4, rows)).astype(np.float32))
+    seg = 1000
+    gidx = np.stack([
+        rng.integers(offsets[l], offsets[l + 1], seg) for l in range(3)
+    ]).astype(np.int32)
+    jg = jnp.asarray(gidx)
+
+    def ml_sum(t):
+        parts = hashgrid._gather_rows_ml(offsets, None, t, jg)
+        return sum((p * (i + 1)).sum() for i, p in enumerate(parts))
+
+    def mono_sum(t):
+        out = hashgrid._gather_rows(rows, 3, None, t, jg.reshape(-1))
+        out = out.reshape(4, 3, seg)
+        return sum((out[:, i] * (i + 1)).sum() for i in range(3))
+
+    v1, g1 = jax.value_and_grad(ml_sum)(table)
+    v2, g2 = jax.value_and_grad(mono_sum)(table)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-5, atol=1e-5)
+
+    parts = hashgrid._gather_rows_ml(offsets, None, table, jg)
+    want = jnp.take(table, jg.reshape(-1), axis=1).reshape(4, 3, seg)
+    for l in range(3):
+        np.testing.assert_array_equal(np.asarray(parts[l]),
+                                      np.asarray(want[:, l]))
+
+
+def test_gather_rows_ml_bf16_dtype():
+    """gather_dtype casts features but gradients stay f32 (two-sided)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ucnerf_tpu.ops import hashgrid
+
+    rng = np.random.default_rng(8)
+    offsets = (0, 256, 1024)
+    table = jnp.asarray(rng.normal(size=(4, 1024)).astype(np.float32))
+    gidx = np.stack([rng.integers(0, 256, 64),
+                     rng.integers(256, 1024, 64)]).astype(np.int32)
+    parts = hashgrid._gather_rows_ml(offsets, jnp.bfloat16, table,
+                                     jnp.asarray(gidx))
+    assert all(p.dtype == jnp.bfloat16 for p in parts)
+    g = jax.grad(lambda t: sum(
+        p.astype(jnp.float32).sum()
+        for p in hashgrid._gather_rows_ml(offsets, jnp.bfloat16, t,
+                                          jnp.asarray(gidx))))(table)
+    assert g.dtype == jnp.float32
+    assert np.isfinite(np.asarray(g)).all()
