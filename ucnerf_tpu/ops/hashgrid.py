@@ -497,6 +497,13 @@ def encode_hex_cm(x01, stds, table, spec: HashGridSpec, grid_sizes=None,
     for level in range(spec.num_levels):
         # Named so the remat policy keeps this (the expensive random HBM
         # gather) instead of recomputing it in the backward pass.
+        # NOTE (measured, round 4): reducing the corner axis in the
+        # gather's natural [lookups, C] layout and transposing the 8x
+        # smaller result looked like it would save the ~24 ms/level [M,4]->
+        # [4,M] transpose fusions seen in the trace — but benched 14%
+        # SLOWER overall (8384 vs 9745 rays/s): the [H, M, C]-major reduce
+        # drags minor-dim-4 (32x lane-padded) layouts into the elementwise
+        # chain and total HBM traffic rises.  Channel-major stays.
         rows = checkpoint_name(parts[level], "hashgrid_gather").reshape(
             c_dim, 8, hex_n, m)
         w_lvl = jnp.stack(w_parts[level * 8:(level + 1) * 8])  # [8, H, M]
