@@ -259,6 +259,11 @@ def waymo(**overrides) -> Config:
         brightness_correction=True,
         model_sky=True,
         virtual_poses=False,
+        # Single-chip note: the EXACT-hex step at 10 microbatches sits
+        # 46 MB over a v5e's 15.75 GB HBM — run the exact path with
+        # microbatches=12 on one chip (gradient-identical: every loss is a
+        # ray-mean; bench.py does this).  The flagship single-query preset
+        # fits at 10.
         microbatches=10,
         model=ModelConfig(num_levels=2, num_prop_samples=128,
                           num_nerf_samples=32),
