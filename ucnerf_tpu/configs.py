@@ -277,9 +277,13 @@ def waymo_tpu(**overrides) -> Config:
     """The TPU-optimized flagship: canonical Waymo architecture (same model
     capacity, sampling counts, grid sizes, losses) with the TPU-efficiency
     knobs on — single-query hex encoding (6x fewer table lookups) and
-    host-driven microbatches (short device programs)."""
+    in-graph lax.scan gradient accumulation (ONE fused device program per
+    step).  The scan was 6% slower than host-driven microbatches before the
+    round-4 per-level gather change and 2.7% FASTER after it (9929-9931 vs
+    9671 rays/s, measured twice; PERF_NOTES round 4) — with the gathers
+    cheaper, removing the per-microbatch dispatch wins."""
     base = waymo(
-        host_microbatches=True,
+        host_microbatches=False,
         nerf_mlp=MLPConfig(disable_density_normals=True,
                            hex_single_query=True),
         prop_mlp=MLPConfig(disable_rgb=True, disable_density_normals=True,
