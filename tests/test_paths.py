@@ -132,3 +132,27 @@ def test_generate_render_path_dispatch():
     assert len(p) == 24
     with pytest.raises(ValueError):
         paths.generate_render_path("nope", ds, cfg)
+
+
+def test_generate_render_path_spline_keyframes_file(tmp_path):
+    """Name-file keyframe selection (reference create_render_spline_path)
+    through the dispatch: names resolve against dataset.image_names."""
+    class _DS:
+        pass
+
+    ds = _DS()
+    ds.camtoworlds = np.concatenate(
+        [_orbit_poses(n=12),
+         np.broadcast_to(np.array([[0, 0, 0, 1.0]]), (12, 1, 4))], axis=1)
+    ds.cam_num = 3
+    ds.image_names = [f"cam_1/{i:08d}.jpg" for i in range(12)]
+    kf = tmp_path / "keyframes.txt"
+    kf.write_text("\n".join(ds.image_names[::3]))
+
+    from ucnerf_tpu import configs
+    cfg = configs.Config(render_path_frames=24,
+                         render_spline_keyframes=8,
+                         render_spline_keyframes_file=str(kf))
+    p = paths.generate_render_path("spline", ds, cfg)
+    _assert_valid_poses(p, len(p))
+    assert len(p) > 0

@@ -209,6 +209,10 @@ class Config:
     render_path_z_variation: float = 0.0  # ellipse height variation
     render_path_z_phase: float = 0.0      # ellipse height phase
     render_spline_keyframes: int = 10     # spline: # keyframes from dataset
+    # Reference-style keyframe selection (configs.py:154 / camera_utils
+    # create_render_spline_path): a directory of images or a text file of
+    # image names; when set, overrides the stride-based keyframe pick.
+    render_spline_keyframes_file: Optional[str] = None
     render_spline_degree: int = 5
     render_spline_smoothness: float = 0.03
     # Nested model/MLP configs.

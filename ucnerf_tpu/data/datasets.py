@@ -59,6 +59,10 @@ class RayDataset:
         self.disp_images: Optional[np.ndarray] = None
         self.virtual_poses: Optional[np.ndarray] = None
         self.virtual_pixtocams: Optional[np.ndarray] = None
+        # Per-view image names (when the loader reads files): used by the
+        # spline render path's name-file keyframe selection
+        # (camera_utils.py:303-350 / data/paths.create_render_spline_path).
+        self.image_names: Optional[list] = None
         self.distortion_params = None
         self.camtype = camlib.ProjectionType.PERSPECTIVE
         self._load_renderings(config)
@@ -420,10 +424,12 @@ class WaymoV2Dataset(RayDataset):
                 poses_json = json.load(jp)
 
         images, depths, poses, segs, intrinsics = [], [], [], [], []
+        names = []
         rng = np.random.default_rng(0)
         virtual_poses, virtual_k = [], []
         for idx in range(self.NUM_FRAMES):
             for cam_idx, cam in enumerate(sensor_type):
+                names.append(f"{cam}/{idx:08d}.jpg")
                 rgb_path = os.path.join(config.data_dir, "images", cam,
                                         f"{idx:08d}.jpg")
                 img = Image.open(rgb_path)
@@ -492,6 +498,7 @@ class WaymoV2Dataset(RayDataset):
 
         self.images = np.stack(images)[sel]
         self.camtoworlds = poses[sel].astype(np.float32)
+        self.image_names = [n for n, s in zip(names, sel) if s]
         self.pixtocams = np.array(
             [np.linalg.inv(k) for k in intrinsics[sel]], np.float32)
         if depths:

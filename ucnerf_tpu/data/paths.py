@@ -281,6 +281,15 @@ def generate_render_path(path_type, dataset, config):
             poses, n_frames=n, z_variation=config.render_path_z_variation,
             z_phase=config.render_path_z_phase)
     if path_type == "spline":
+        names = getattr(dataset, "image_names", None)
+        if config.render_spline_keyframes_file and names:
+            n_interp = max(1, n // max(config.render_spline_keyframes, 1))
+            _, render_poses, _ = create_render_spline_path(
+                config.render_spline_keyframes_file, names, poses,
+                n_interp=n_interp,
+                spline_degree=config.render_spline_degree,
+                smoothness=config.render_spline_smoothness)
+            return render_poses
         stride = max(1, len(poses) // max(config.render_spline_keyframes, 2))
         keyframes = poses[::stride]
         n_interp = max(1, n // max(len(keyframes) - 1, 1))
