@@ -212,3 +212,75 @@ def test_gather_rows_ml_bf16_dtype():
                                           jnp.asarray(gidx))))(table)
     assert g.dtype == jnp.float32
     assert np.isfinite(np.asarray(g)).all()
+
+
+def _oracle_tv_grad(x, table, spec, weight=1e-7):
+    """Numpy oracle of the CUDA TV-gradient update (kernel_grad_tv,
+    gridencoder.cu:507-610): per point/level, grad flows only to the ANCHOR
+    cell, per-channel results * rsqrt(sum diffs^2 + 1e-9), boundary sides
+    skipped, OOB points skipped, w = weight / (2 D)."""
+    x01 = (np.asarray(x, np.float64) + 1) / 2
+    tb = np.asarray(table, np.float64)  # [C, T]
+    grad = np.zeros_like(tb)
+    w = weight / (2 * spec.input_dim)
+
+    def _idx(cp, l):
+        res = spec.cuda_resolutions[l]
+        hs = spec.level_sizes[l]
+        if (res + 1) ** 3 > hs:
+            idx = np.uint64(0)
+            for d in range(3):
+                idx ^= np.uint64((int(cp[d]) * int(PRIMES[d])) % (1 << 32))
+        else:
+            idx = cp[0] + cp[1] * (res + 1) + cp[2] * (res + 1) ** 2
+        return int(idx % np.uint64(hs)) + spec.offsets[l]
+
+    for i in range(x01.shape[0]):
+        if np.any(x01[i] < 0) or np.any(x01[i] > 1):
+            continue
+        for l in range(spec.num_levels):
+            scale = np.float32(spec.cuda_scales[l])
+            res = spec.cuda_resolutions[l]
+            pg = np.floor(x01[i].astype(np.float32) * scale
+                          + np.float32(0.5)).astype(np.int64)
+            anchor = _idx(pg, l)
+            results = np.zeros(spec.level_dim)
+            idelta = np.zeros(spec.level_dim)
+            for d in range(3):
+                for step in (1, -1):
+                    if step == 1 and not pg[d] < res:
+                        continue
+                    if step == -1 and not pg[d] > 0:
+                        continue
+                    cp = pg.copy()
+                    cp[d] += step
+                    diff = tb[:, anchor] - tb[:, _idx(cp, l)]
+                    results += diff
+                    idelta += diff * diff
+            grad[:, anchor] += w * results / np.sqrt(idelta + 1e-9)
+    return grad
+
+
+def test_tv_loss_grad_matches_cuda_semantics(rng):
+    """jax.grad of ops.hashgrid.tv_loss reproduces kernel_grad_tv's anchor
+    update (gridencoder.cu:507-610) including OOB skip and boundary masks."""
+    spec = small_spec()
+    table = hashgrid.init_table(jax.random.PRNGKey(11), spec) * 100.0
+    x = rng.uniform(-1.2, 1.2, (24, 3)).astype(np.float32)  # some OOB
+
+    g = jax.grad(lambda tb: hashgrid.tv_loss(tb, spec, x=jnp.asarray(x),
+                                             weight=1e-3))(table)
+    g_oracle = _oracle_tv_grad(x, table, spec, weight=1e-3)
+    np.testing.assert_allclose(np.asarray(g), g_oracle, rtol=2e-4, atol=1e-10)
+    # Multiple points hit real neighbors: the update must be nontrivial.
+    assert np.count_nonzero(np.abs(np.asarray(g)) > 0) > 10
+
+
+def test_tv_loss_random_points_finite():
+    spec = small_spec()
+    table = hashgrid.init_table(jax.random.PRNGKey(12), spec)
+    loss = hashgrid.tv_loss(table, spec, key=jax.random.PRNGKey(13),
+                            num_points=256)
+    assert np.isfinite(float(loss))
+    with pytest.raises(ValueError):
+        hashgrid.tv_loss(table, spec)

@@ -527,6 +527,73 @@ def encode_hex_cm(x01, stds, table, spec: HashGridSpec, grid_sizes=None,
     return jnp.concatenate(feats, axis=0), jnp.stack(wmeans, axis=0)
 
 
+def tv_loss(table, spec: HashGridSpec, x=None, key=None,
+            num_points: int = 4096, bound: float = 1.0,
+            weight: float = 1e-7):
+    """Total-variation regularizer on the hash table at sampled points.
+
+    API parity with ``GridEncoder.grad_total_variation`` (grid.py:176-198,
+    kernel ``kernel_grad_tv`` gridencoder.cu:507-610).  The CUDA kernel adds
+    ``w * sum_neighbors(anchor - neighbor) * rsqrt(sum (anchor-neighbor)^2 +
+    1e-9)`` to the ANCHOR cell's gradient only (atomicAdd at the anchor
+    index, w = weight / (2 D)).  That update is exactly the gradient of
+
+        w * sum_{points, levels, channels} sqrt(sum_{d, side} diff^2 + 1e-9)
+
+    with the neighbor lookups held constant — so this function returns that
+    scalar with ``stop_gradient`` on the neighbors, and ``jax.grad`` w.r.t.
+    the table reproduces the CUDA update (per-channel rsqrt, out-of-bound
+    points skipped, boundary sides masked).  Like the reference, this is
+    exposed API: no shipped training config invokes it (verified — no caller
+    of grad_total_variation exists outside its definition).
+
+    Args:
+      table: [C, rows] channel-planar packed table.
+      x: optional [..., D] points in [-bound, bound]; when None, num_points
+        uniform samples in the unit cube are drawn from ``key`` (matching
+        the wrapper's ``torch.rand`` default).
+      weight: loss scale (reference default 1e-7).
+
+    Returns:
+      Scalar loss.
+    """
+    if x is None:
+        if key is None:
+            raise ValueError("tv_loss needs either x or key")
+        x01 = jax.random.uniform(key, (num_points, spec.input_dim))
+    else:
+        x01 = ((x + bound) / (2 * bound)).reshape(-1, spec.input_dim)
+    oob = jnp.any((x01 < 0) | (x01 > 1), axis=-1)  # [B]
+    xs = jnp.clip(x01, 0.0, 1.0)
+
+    total = jnp.float32(0.0)
+    for level in range(spec.num_levels):
+        scale = np.float32(spec.cuda_scales[level])
+        res = np.uint32(spec.cuda_resolutions[level])
+        pos_grid = jnp.floor(xs * scale + np.float32(0.5)).astype(jnp.uint32)
+        level_offset = np.int32(spec.offsets[level])
+        anchor = _corner_index(spec, level, pos_grid).astype(jnp.int32)
+        a = jnp.take(table, anchor + level_offset, axis=1)  # [C, B]
+
+        idelta = jnp.zeros_like(a)
+        for d in range(spec.input_dim):
+            onehot = np.zeros((spec.input_dim,), np.uint32)
+            onehot[d] = 1
+            for step, valid in (
+                    (np.uint32(1), pos_grid[:, d] < res),
+                    (np.uint32(np.uint32(0) - np.uint32(1)),
+                     pos_grid[:, d] > 0)):
+                npos = pos_grid + onehot * step  # uint32 wrap masked below
+                nidx = _corner_index(spec, level, npos).astype(jnp.int32)
+                nval = jax.lax.stop_gradient(
+                    jnp.take(table, nidx + level_offset, axis=1))
+                diff = jnp.where(valid[None], a - nval, 0.0)
+                idelta = idelta + diff * diff
+        per_pt = jnp.sqrt(idelta + np.float32(1e-9))  # [C, B]
+        total = total + jnp.sum(jnp.where(oob[None], 0.0, per_pt))
+    return np.float32(weight / (2 * spec.input_dim)) * total
+
+
 def hash_decay_means(table, spec: HashGridSpec):
     """Per-level mean of squared embeddings: [L].
 
