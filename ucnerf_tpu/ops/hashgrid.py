@@ -581,8 +581,7 @@ def tv_loss(table, spec: HashGridSpec, x=None, key=None,
             onehot[d] = 1
             for step, valid in (
                     (np.uint32(1), pos_grid[:, d] < res),
-                    (np.uint32(np.uint32(0) - np.uint32(1)),
-                     pos_grid[:, d] > 0)):
+                    (np.uint32(0xFFFFFFFF), pos_grid[:, d] > 0)):
                 npos = pos_grid + onehot * step  # uint32 wrap masked below
                 nidx = _corner_index(spec, level, npos).astype(jnp.int32)
                 nval = jax.lax.stop_gradient(
