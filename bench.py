@@ -92,15 +92,23 @@ def _measure_render(cfg, chunks, warmup):
         out = eval_step(params, batch, 1.0, 0)
     float(jnp.sum(out["rgb"]))
 
-    t0 = time.perf_counter()
-    acc = 0.0
-    for _ in range(chunks):
-        out = eval_step(params, batch, 1.0, 0)
-        acc = acc + out["rgb"]
-    total = float(jnp.sum(acc))
-    dt = time.perf_counter() - t0
-    assert np.isfinite(total), total
-    return n * chunks / dt
+    # Median of 3 timed repeats: single-window render timings on the
+    # tunneled chip swing up to +/-1.5x (PERF_NOTES round 3) from host-side
+    # dispatch hiccups, so one block mis-states the round.  Each repeat
+    # times ceil(chunks/2) renders; the median is reported.
+    per_repeat = max(4, chunks // 2)
+    rates = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        acc = 0.0
+        for _ in range(per_repeat):
+            out = eval_step(params, batch, 1.0, 0)
+            acc = acc + out["rgb"]
+        total = float(jnp.sum(acc))
+        dt = time.perf_counter() - t0
+        assert np.isfinite(total), total
+        rates.append(n * per_repeat / dt)
+    return float(np.median(rates))
 
 
 def main():
