@@ -243,3 +243,37 @@ def test_zipmlp_pred_normals_path():
     # Unit length up to the eps clamp (near-zero predictions normalize short).
     assert np.all(norms <= 1 + 1e-4)
     assert np.median(norms) > 0.99
+
+
+def test_scan_equals_host_microbatches():
+    """The in-graph lax.scan accumulation (flagship default since round 4,
+    configs.waymo_tpu host_microbatches=False) and the host-driven
+    microbatch loop split keys, reshape rays, accumulate, and scale
+    identically — one step from the same state/batch/key must produce the
+    same params and loss (up to compiler reassociation)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(configs.tiny(), batch_size=64, microbatches=2,
+                              host_microbatches=False,
+                              donate_train_state=False)
+    cfg_host = dataclasses.replace(cfg, host_microbatches=True)
+    model, params = step_lib.init_model(cfg, jax.random.PRNGKey(0))
+    batch = _batch(cfg, 64, seed=7)
+    key = jax.random.PRNGKey(3)
+
+    outs = []
+    for c in (cfg, cfg_host):
+        state = state_lib.create_train_state(c, params)
+        new_state, stats = step_lib.make_train_step(model, c)(
+            state, batch, key, jnp.float32(0.5))
+        outs.append((new_state, stats))
+
+    (s_scan, st_scan), (s_host, st_host) = outs
+    np.testing.assert_allclose(float(st_scan["loss"]),
+                               float(st_host["loss"]), rtol=1e-6)
+    flat_a = jax.tree.leaves(s_scan.params)
+    flat_b = jax.tree.leaves(s_host.params)
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-7)
