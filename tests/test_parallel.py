@@ -81,3 +81,23 @@ def test_pad_rays_to_multiple():
                                   np.full(6, batch["x"][-1, 0]))
     same, pad0 = meshlib.pad_rays_to_multiple(batch, 5)
     assert pad0 == 0 and same["x"].shape[0] == 10
+
+
+def test_scaling_bench_measure():
+    """tools/scaling_bench.py's measure() runs the production sharded step
+    at two mesh sizes on the virtual-device mesh and returns finite
+    throughput (the weak-scaling harness for the BASELINE.md north star)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "scaling_bench",
+        os.path.join(os.path.dirname(__file__), os.pardir, "tools",
+                     "scaling_bench.py"))
+    sb = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sb)
+
+    for n in (1, 2):
+        rps = sb.measure(n, per_device_batch=32, steps=1, preset="tiny",
+                         bindings=[])
+        assert np.isfinite(rps) and rps > 0
