@@ -285,8 +285,18 @@ def waymo_tpu(**overrides) -> Config:
     step).  The scan was 6% slower than host-driven microbatches before the
     round-4 per-level gather change and 2.7% FASTER after it (9929-9931 vs
     9671 rays/s, measured twice; PERF_NOTES round 4) — with the gathers
-    cheaper, removing the per-microbatch dispatch wins."""
+    cheaper, removing the per-microbatch dispatch wins.
+
+    microbatches=15, not 10: at the canonical batch of 15000 that makes the
+    per-microbatch lookup streams exactly 2^20 (prop: 1000 rays x 128
+    samples x 8 corners) and 2^18 (nerf), so the backward's bitonic sorts
+    pad ZERO elements (m=10's 1.536M streams pad 30% to 2M).  Swept on the
+    v5e: m=5 9639, m=6 9494, m=10 9917-9929, m=12 9519, m=15 10080-10083,
+    m=20 9748 rays/s — the peak is the padding-free stream, not a
+    monotone program-size trend (PERF_NOTES round 4).  batch_size must
+    stay divisible by microbatches (the reshape errors loudly if not)."""
     base = waymo(
+        microbatches=15,
         host_microbatches=False,
         nerf_mlp=MLPConfig(disable_density_normals=True,
                            hex_single_query=True),
