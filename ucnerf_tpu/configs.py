@@ -287,14 +287,15 @@ def waymo_tpu(**overrides) -> Config:
     9671 rays/s, measured twice; PERF_NOTES round 4) — with the gathers
     cheaper, removing the per-microbatch dispatch wins.
 
-    microbatches=15, not 10: at the canonical batch of 15000 that makes the
-    per-microbatch lookup streams exactly 2^20 (prop: 1000 rays x 128
-    samples x 8 corners) and 2^18 (nerf), so the backward's bitonic sorts
-    pad ZERO elements (m=10's 1.536M streams pad 30% to 2M).  Swept on the
-    v5e: m=5 9639, m=6 9494, m=10 9917-9929, m=12 9519, m=15 10080-10083,
-    m=20 9748 rays/s — the peak is the padding-free stream, not a
-    monotone program-size trend (PERF_NOTES round 4).  batch_size must
-    stay divisible by microbatches (the reshape errors loudly if not)."""
+    microbatches=15, not 10: swept empirically on the v5e at the canonical
+    batch of 15000 (PERF_NOTES round 4): m=5 9639, m=6 9494, m=8 9889,
+    m=10 9917-9929, m=12 9519, m=15 10080-10083 (x3 runs), m=20 9748,
+    m=30 9506 rays/s.  m=15's 1000-ray microbatch makes the prop lookup
+    streams 1.024M — 2.4% below 2^20, the least pow2-padding of any
+    divisor's stream — but padding alone does not order the whole sweep
+    (m=8 pads 4.2% and lands below m=10's 30%), so the default is the
+    measured optimum, not a closed-form rule.  batch_size must stay
+    divisible by microbatches (the reshape errors loudly if not)."""
     base = waymo(
         microbatches=15,
         host_microbatches=False,
