@@ -135,14 +135,14 @@ def main():
     # activations (HBM OOM on one 16 GB v5e, PERF_NOTES round 3);
     # render_subchunks=6 bounds the activation peak at 2500-ray scale while
     # rendering the full chunk in ONE device program.
-    # microbatches=12 / subchunks=12: the 10-microbatch exact train step
+    # microbatches=15 / subchunks=12: the 10-microbatch exact train step
     # landed 46 MB over the 15.75 GB HBM budget after the per-level-gather
-    # change, and the 6-sub-chunk render peaked at 18.1 GB; 1250-ray
-    # programs fit both with margin (measured: train 1419 rays/s, render
-    # 3678 rays/s at the canonical chunk).
+    # change; 1250-ray programs (m=12) fit with margin, and the round-4
+    # scan-length sweep then measured 1000-ray programs 9% faster still
+    # (m=12 1457, m=15 1589+/-0.2 over two runs, m=20 1584 rays/s).
     exact = configs.parse_bindings(
         configs.waymo(batch_size=args.batch_size, host_microbatches=True,
-                      microbatches=12, render_chunk_size=15000,
+                      microbatches=15, render_chunk_size=15000,
                       render_subchunks=12),
         args.binding)
 

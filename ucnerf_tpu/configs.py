@@ -265,9 +265,10 @@ def waymo(**overrides) -> Config:
         virtual_poses=False,
         # Single-chip note: the EXACT-hex step at 10 microbatches sits
         # 46 MB over a v5e's 15.75 GB HBM — run the exact path with
-        # microbatches=12 on one chip (gradient-identical: every loss is a
-        # ray-mean; bench.py does this).  The flagship single-query preset
-        # fits at 10.
+        # microbatches=15 on one chip (gradient-identical: every loss is a
+        # ray-mean; bench.py does this — measured 9% faster than the
+        # first-fitting m=12, PERF_NOTES round 4).  The flagship
+        # single-query preset fits at 10 and is fastest at 15 (waymo_tpu).
         microbatches=10,
         model=ModelConfig(num_levels=2, num_prop_samples=128,
                           num_nerf_samples=32),
