@@ -200,3 +200,181 @@ def test_partial_scatter_matches_xla(rng):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-5, atol=2e-4,
                                    err_msg=f"chunks={chunks}")
+
+
+def test_pack_unpack_bf16_pairs_roundtrip():
+    rng = np.random.default_rng(7)
+    vals = rng.normal(size=(4, 257)).astype(np.float32)
+    bf = np.asarray(jnp.asarray(vals).astype(jnp.bfloat16).astype(
+        jnp.float32))
+    packed = scatter.pack_bf16_pairs(jnp.asarray(vals))
+    assert packed.shape == (2, 257) and packed.dtype == jnp.int32
+    got = np.asarray(scatter.unpack_bf16_pairs(packed))
+    np.testing.assert_array_equal(got, bf)
+
+
+def test_scatter_packed_matches_bf16_oracle(rng):
+    """scatter_add_packed_cm == f64 scatter of the bf16-rounded values."""
+    c, m, rows = 4, 5000, 3000
+    idx = rng.integers(0, rows, m).astype(np.int32)
+    vals = rng.normal(size=(c, m)).astype(np.float32)
+    vals_bf = np.asarray(
+        jnp.asarray(vals).astype(jnp.bfloat16).astype(jnp.float32))
+    got = scatter.scatter_add_packed_cm(
+        jnp.asarray(vals), jnp.asarray(idx), rows, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), _oracle(vals_bf, idx, rows),
+                               atol=5e-5, rtol=5e-5)
+
+
+def test_scatter_packed_segmented_matches_flat(rng):
+    c, rows, nseg, per = 4, 4000, 4, 750
+    idx = np.concatenate([
+        rng.integers(s * 1000, s * 1000 + 1000, per) for s in range(nseg)
+    ]).astype(np.int32)
+    vals = rng.normal(size=(c, nseg * per)).astype(np.float32)
+    vals_bf = np.asarray(
+        jnp.asarray(vals).astype(jnp.bfloat16).astype(jnp.float32))
+    got = scatter.scatter_add_packed_cm(
+        jnp.asarray(vals), jnp.asarray(idx), rows, interpret=True,
+        sort_segments=nseg)
+    np.testing.assert_allclose(np.asarray(got), _oracle(vals_bf, idx, rows),
+                               atol=5e-5, rtol=5e-5)
+
+
+def _dense_oracle(gvals, fracs, base_idx, rows, level_len, strides):
+    """numpy f64 8-corner expansion with bf16-rounded fracs."""
+    fr = np.asarray(jnp.asarray(fracs).astype(jnp.bfloat16).astype(
+        jnp.float32), np.float64)
+    out = np.zeros((gvals.shape[0], rows))
+    for l, s in enumerate(strides):
+        sl = slice(l * level_len, (l + 1) * level_len)
+        g = np.asarray(gvals[:, sl], np.float64)
+        fx, fy, fz = fr[0, sl], fr[1, sl], fr[2, sl]
+        base = base_idx[sl]
+        for corner in range(8):
+            w = ((fx if corner & 1 else 1 - fx)
+                 * (fy if corner & 2 else 1 - fy)
+                 * (fz if corner & 4 else 1 - fz))
+            off = (corner & 1) + ((corner >> 1) & 1) * s \
+                + ((corner >> 2) & 1) * s * s
+            np.add.at(out, (slice(None), base + off), w * g)
+    return out
+
+
+def _make_dense_stream(rng, level_sizes, strides, level_len):
+    """Random per-level samples whose 8 corners stay inside each level."""
+    offs = np.concatenate([[0], np.cumsum(level_sizes)]).astype(np.int64)
+    base, gs, frs = [], [], []
+    for l, (size, s) in enumerate(zip(level_sizes, strides)):
+        span = s * s + s + 1
+        hi = size - span - 1
+        base.append(rng.integers(0, hi, level_len).astype(np.int64)
+                    + offs[l])
+    base_idx = np.concatenate(base).astype(np.int32)
+    m = len(level_sizes) * level_len
+    gvals = rng.normal(size=(4, m)).astype(np.float32)
+    fracs = rng.uniform(0, 1, size=(4, m)).astype(np.float32)
+    fracs[3] = 0.0
+    return gvals, fracs, base_idx, int(offs[-1])
+
+
+def test_scatter_dense_matches_oracle(rng):
+    """Sample-granularity dense scatter vs the f64 corner-expansion oracle;
+    multi-level stream with tile-boundary-crossing corner spans."""
+    level_sizes = (4920, 35944)   # the real l0/l1 dense sizes
+    strides = (17, 34)
+    level_len = 700               # not a block multiple: exercises padding
+    gvals, fracs, base_idx, rows = _make_dense_stream(
+        rng, level_sizes, strides, level_len)
+    got = scatter.scatter_add_dense_cm(
+        jnp.asarray(gvals), jnp.asarray(fracs), jnp.asarray(base_idx), rows,
+        level_len=level_len, strides=strides, tile_rows=4096, block_k=512,
+        interpret=True)
+    want = _dense_oracle(gvals, fracs, base_idx, rows, level_len, strides)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-4, rtol=2e-4)
+
+
+def test_scatter_dense_single_level_concentrated(rng):
+    """One level, all samples in one cell: duplicate accumulation and the
+    span-widened window on a single tile."""
+    level_sizes = (8192,)
+    strides = (17,)
+    level_len = 2048
+    base_idx = np.full((level_len,), 4090, np.int32)  # corners cross tile 0/1
+    gvals = rng.normal(size=(4, level_len)).astype(np.float32)
+    fracs = rng.uniform(0, 1, size=(4, level_len)).astype(np.float32)
+    fracs[3] = 0.0
+    got = scatter.scatter_add_dense_cm(
+        jnp.asarray(gvals), jnp.asarray(fracs), jnp.asarray(base_idx), 8192,
+        level_len=level_len, strides=strides, tile_rows=4096, block_k=512,
+        interpret=True)
+    want = _dense_oracle(gvals, fracs, base_idx, 8192, level_len, strides)
+    np.testing.assert_allclose(np.asarray(got), want,
+                               atol=1e-3 * np.sqrt(level_len), rtol=1e-4)
+
+
+def test_scatter_dense_single_pass(rng):
+    """two_pass=False rounds the weighted grads to bf16 (~1e-2 rel)."""
+    level_sizes = (4920,)
+    strides = (17,)
+    level_len = 1024
+    gvals, fracs, base_idx, rows = _make_dense_stream(
+        rng, level_sizes, strides, level_len)
+    got = scatter.scatter_add_dense_cm(
+        jnp.asarray(gvals), jnp.asarray(fracs), jnp.asarray(base_idx), rows,
+        level_len=level_len, strides=strides, interpret=True,
+        two_pass=False)
+    want = _dense_oracle(gvals, fracs, base_idx, rows, level_len, strides)
+    np.testing.assert_allclose(np.asarray(got), want, atol=3e-2, rtol=3e-2)
+
+
+@pytest.mark.parametrize("value_dtype,dense", [
+    (None, True), ("bfloat16", False), ("bfloat16", True)])
+def test_encode_hex_cm_fused_bwd_matches_reference_path(value_dtype, dense):
+    """The round-5 fused boundary (sample-granularity dense scatter and/or
+    bf16-packed hashed payloads, Pallas interpret) matches the round-4 path
+    in values EXACTLY and in gradients up to the documented roundings."""
+    spec = hashgrid.HashGridSpec(num_levels=4, level_dim=4,
+                                 base_resolution=16, desired_resolution=128,
+                                 log2_hashmap_size=14)
+    assert spec.dense_prefix >= 1
+    assert spec.dense_prefix < spec.num_levels  # both paths exercised
+    rng = np.random.default_rng(11)
+    n = 300
+    x01 = jnp.asarray(rng.uniform(-0.05, 1.05, (3, 6, n)).astype(np.float32))
+    stds = jnp.asarray(rng.uniform(0.01, 0.3, (6, n)).astype(np.float32))
+    table = jnp.asarray(
+        rng.normal(0, 0.1, (4, spec.table_rows)).astype(np.float32))
+    cotan_f = jnp.asarray(rng.normal(
+        0, 1, (spec.num_levels * 4, n)).astype(np.float32))
+    cotan_w = jnp.asarray(rng.normal(
+        0, 1, (spec.num_levels, n)).astype(np.float32))
+
+    old_impl = hashgrid.SCATTER_IMPL
+    hashgrid.SCATTER_IMPL = "pallas_interpret"
+    try:
+        def run(**kw):
+            def loss(t, x):
+                feats, wmeans = hashgrid.encode_hex_cm(x, stds, t, spec,
+                                                       **kw)
+                return jnp.vdot(feats, cotan_f) + jnp.vdot(wmeans, cotan_w)
+            val, grads = jax.value_and_grad(loss, argnums=(0, 1))(table, x01)
+            return val, grads
+
+        v_ref, (gt_ref, gx_ref) = run()
+        v_new, (gt_new, gx_new) = run(
+            bwd_dense_sample=dense,
+            bwd_value_dtype=value_dtype)
+    finally:
+        hashgrid.SCATTER_IMPL = old_impl
+
+    # Forward identical (same gathers, f32 weights).
+    np.testing.assert_allclose(float(v_new), float(v_ref), rtol=1e-6)
+    # x-gradient flows through d_w (saved rows) — matches autodiff tightly.
+    np.testing.assert_allclose(np.asarray(gx_new), np.asarray(gx_ref),
+                               rtol=2e-4, atol=2e-4)
+    # Table gradient: bf16 payload/frac rounding bounds the difference.
+    scale = float(jnp.abs(gt_ref).max())
+    tol = 2e-2 if value_dtype == "bfloat16" else 1e-2
+    np.testing.assert_allclose(np.asarray(gt_new), np.asarray(gt_ref),
+                               atol=tol * max(scale, 1e-3), rtol=tol)

@@ -59,6 +59,14 @@ class MLPConfig:
     # full 128-lane tile per index, so this halves the dominant HBM traffic.
     # Features round to bf16 (~0.4% rel); table GRADIENTS stay exact f32.
     grid_bf16_gather: bool = False
+    # Round-5 backward-sort reductions (ops/hashgrid._gather_wsum_ml).
+    # dense_sample: sort dense (non-hashed) levels at SAMPLE granularity
+    # (1/8 the stream; precision unchanged up to bf16 frac rounding).
+    # value_dtype='bfloat16': pack hashed-level grad payloads as bf16 pairs
+    # (3-array sorts instead of 5-array; one bf16 rounding per update —
+    # the reference's half-precision backward rounds harder, fp16 atomics).
+    grid_bwd_dense_sample: bool = False
+    grid_bwd_value_dtype: Optional[str] = None
     # Matmul precision for the field's dense layers: None (float32) or
     # 'bfloat16' (MXU bf16 with f32 accumulation; params stay f32).
     compute_dtype: Optional[str] = None

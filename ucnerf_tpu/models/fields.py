@@ -154,7 +154,9 @@ class ZipMLP(nn.Module):
             x01 = x01.mean(axis=1, keepdims=True)  # [3, 1, M]
         feats, wmeans = hashgrid.encode_hex_cm(
             x01, stds.reshape(6, m), self.table, self.grid_spec,
-            gather_dtype=jnp.bfloat16 if cfg.grid_bf16_gather else None)
+            gather_dtype=jnp.bfloat16 if cfg.grid_bf16_gather else None,
+            bwd_dense_sample=cfg.grid_bwd_dense_sample,
+            bwd_value_dtype=cfg.grid_bwd_value_dtype)
         if cfg.scale_featurization:
             vl2mean = jax.lax.stop_gradient(
                 hashgrid.level_sq_means(self.table, self.grid_spec))

@@ -194,6 +194,131 @@ def _gather_rows_ml_bwd(level_offsets, gather_dtype, gidx_lvl, gs):
 _gather_rows_ml.defvjp(_gather_rows_ml_fwd, _gather_rows_ml_bwd)
 
 
+def _sliced_rows(level_offsets, gather_dtype, table, gidx_lvl):
+    """Per-level sliced takes: [C, rows], [L, 8, S] -> L x [C, 8, S]."""
+    num_levels = len(level_offsets) - 1
+    if gather_dtype is not None:
+        table = table.astype(gather_dtype)
+    rows = []
+    for l in range(num_levels):
+        lo, hi = int(level_offsets[l]), int(level_offsets[l + 1])
+        sl = jax.lax.slice_in_dim(table, lo, hi, axis=1)
+        rows.append(jnp.take(sl, gidx_lvl[l] - jnp.int32(lo), axis=1))
+    return rows
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _gather_wsum_ml(level_offsets, dense_strides, value_dtype, gather_dtype,
+                    table, gidx_lvl, w_lvl, frac_lvl):
+    """Fused per-level gather + trilinear corner sum with a restructured
+    backward (the round-5 sort-reduction boundary).
+
+    Forward == ``_gather_rows_ml`` followed by the per-level weighted corner
+    sum: part_l = sum_c take(slice_l, gidx[l, c]) * w[l, c].  Moving the
+    corner sum inside the custom-vjp boundary exposes the w (x) g
+    factorization to the backward, which shrinks the backward's dominant
+    cost — the 5-array bitonic sorts feeding the Pallas scatter
+    (PERF_NOTES round 4: ~26% of the flagship step) — two ways:
+
+    * Levels in the DENSE PREFIX (corner index == linear cell index, no
+      hash/modulo — ``HashGridSpec.dense_prefix``) sort one stream element
+      per SAMPLE (key = corner-0 row, payload = [C] f32 feature grad +
+      bf16-packed fracs) instead of 8 corner-updates; the scatter kernel
+      re-expands the corners at static stride offsets
+      (``scatter.scatter_add_dense_cm``).  1/8 the sorted elements.
+    * Remaining (hashed) levels optionally pack the 4 premultiplied f32
+      update channels into 2 bf16-pair int32 payloads
+      (``scatter.scatter_add_packed_cm``): a 3-array sort instead of
+      5-array.  Enabled via value_dtype='bfloat16'; precision is one bf16
+      rounding per update (the reference's own half-precision backward
+      rounds harder: fp16 atomics, gridencoder.cu:325-338).
+
+    Args:
+      level_offsets: L+1 static row offsets of the packed table.
+      dense_strides: static per-level corner strides for the dense prefix
+        (empty tuple disables the sample-granularity path).
+      value_dtype: None (f32 sorts for hashed levels) or 'bfloat16'.
+      table: [C, rows].  gidx_lvl: [L, 8, S] int32 global rows.
+      w_lvl: [L, 8, S] trilinear corner weights.
+      frac_lvl: [nd, 4, S] fractional coords (fx, fy, fz, 0) for the dense
+        prefix — a stop-gradient re-encoding of w for the backward payload;
+        its own cotangent is zero (w_lvl carries the real weight gradient).
+
+    Returns:
+      Tuple of L [C, S] weighted corner sums.
+    """
+    rows = _sliced_rows(level_offsets, gather_dtype, table, gidx_lvl)
+    return tuple((rows[l] * w_lvl[l][None]).sum(axis=1)
+                 for l in range(len(rows)))
+
+
+def _gather_wsum_ml_fwd(level_offsets, dense_strides, value_dtype,
+                        gather_dtype, table, gidx_lvl, w_lvl, frac_lvl):
+    rows = [checkpoint_name(r, "hashgrid_gather")
+            for r in _sliced_rows(level_offsets, gather_dtype, table,
+                                  gidx_lvl)]
+    outs = tuple((rows[l] * w_lvl[l][None]).sum(axis=1)
+                 for l in range(len(rows)))
+    return outs, (gidx_lvl, w_lvl, frac_lvl, tuple(rows))
+
+
+def _gather_wsum_ml_bwd(level_offsets, dense_strides, value_dtype,
+                        gather_dtype, res, gs):
+    gidx_lvl, w_lvl, frac_lvl, rows = res
+    num_levels = len(level_offsets) - 1
+    nd = len(dense_strides)
+    c = gs[0].shape[0]
+    s = gidx_lvl.shape[2]
+
+    # Weight cotangent from the saved gather outputs (what autodiff computed
+    # when the corner sum lived outside the boundary).
+    d_w = jnp.stack([
+        jnp.einsum("chs,cs->hs", rows[l].astype(jnp.float32),
+                   gs[l].astype(jnp.float32)) for l in range(num_levels)])
+
+    if not _use_pallas_scatter():
+        # XLA fallback (CPU, non-interpret): exact corner-expanded scatter.
+        vals = jnp.concatenate(
+            [(w_lvl[l][None] * gs[l][:, None].astype(jnp.float32))
+             .reshape(c, -1) for l in range(num_levels)], axis=1)
+        dtable = scatter.scatter_add_xla(
+            vals, gidx_lvl.reshape(-1), int(level_offsets[-1]))
+        return (dtable, np.zeros(gidx_lvl.shape, jax.dtypes.float0), d_w,
+                jnp.zeros_like(frac_lvl))
+
+    interp = SCATTER_IMPL == "pallas_interpret"
+    dense_rows = int(level_offsets[nd])
+    parts = []
+    if nd:
+        g_d = jnp.concatenate(
+            [gs[l].astype(jnp.float32) for l in range(nd)], axis=1)
+        fr = jnp.concatenate([frac_lvl[l] for l in range(nd)], axis=1)
+        base = gidx_lvl[:nd, 0].reshape(-1)
+        parts.append(scatter.scatter_add_dense_cm(
+            g_d, fr, base, dense_rows, level_len=s, strides=dense_strides,
+            interpret=interp))
+    if nd < num_levels:
+        vals = jnp.concatenate(
+            [(w_lvl[l][None] * gs[l][:, None].astype(jnp.float32))
+             .reshape(c, -1) for l in range(nd, num_levels)], axis=1)
+        idx = gidx_lvl[nd:].reshape(-1) - jnp.int32(dense_rows)
+        hashed_rows = int(level_offsets[-1]) - dense_rows
+        if value_dtype == "bfloat16":
+            parts.append(scatter.scatter_add_packed_cm(
+                vals, idx, hashed_rows, sort_segments=num_levels - nd,
+                interpret=interp))
+        else:
+            parts.append(scatter.scatter_add_cm(
+                vals, idx, hashed_rows, sort_segments=num_levels - nd,
+                interpret=interp))
+    dtable = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+    return (dtable, np.zeros(gidx_lvl.shape, jax.dtypes.float0), d_w,
+            jnp.zeros_like(frac_lvl))
+
+
+_gather_wsum_ml.defvjp(_gather_wsum_ml_fwd, _gather_wsum_ml_bwd)
+
+
 @dataclasses.dataclass(frozen=True)
 class HashGridSpec:
     """Static geometry of a multiresolution hash grid.
@@ -273,6 +398,33 @@ class HashGridSpec:
         coordinates are hashed (gridencoder.cu:72-81)."""
         stride = (self.cuda_resolutions[level] + 1) ** self.input_dim
         return stride > self.level_sizes[level]
+
+    @functools.cached_property
+    def dense_prefix(self) -> int:
+        """Number of leading levels whose corner index is the plain linear
+        cell index — no hash AND provably no modulo (the no-mod branch of
+        ``_corner_index``).  For these levels corner c of a sample sits at a
+        static stride offset from corner 0, enabling the sample-granularity
+        backward (``scatter.scatter_add_dense_cm``)."""
+        if self.input_dim != 3:
+            return 0
+        n = 0
+        for level in range(self.num_levels):
+            if self.uses_hash(level):
+                break
+            r = self.cuda_resolutions[level]
+            stride = r + 1
+            max_index = r * (1 + stride + stride * stride)
+            if max_index >= self.level_sizes[level]:
+                break
+            n += 1
+        return n
+
+    @functools.cached_property
+    def dense_strides(self) -> Tuple[int, ...]:
+        """Corner strides (cuda_resolution + 1) of the dense prefix."""
+        return tuple(self.cuda_resolutions[l] + 1
+                     for l in range(self.dense_prefix))
 
 
 def init_table(key: jax.Array, spec: HashGridSpec,
@@ -406,7 +558,8 @@ def _corner_index_components(spec: HashGridSpec, level: int, cx, cy, cz):
 
 
 def encode_hex_cm(x01, stds, table, spec: HashGridSpec, grid_sizes=None,
-                  accum_dtype=jnp.float32, gather_dtype=None):
+                  accum_dtype=jnp.float32, gather_dtype=None,
+                  bwd_dense_sample: bool = False, bwd_value_dtype=None):
     """Channel-major hash encode with erf weighting + hex-mean folded in.
 
     The hex axis of x01 may have size 1 ("single-query" mode): the grid is
@@ -431,6 +584,9 @@ def encode_hex_cm(x01, stds, table, spec: HashGridSpec, grid_sizes=None,
       grid_sizes: optional [L] float resolutions for the erf weight; defaults
         to spec.resolutions.  Pass None for stds to skip weighting.
 
+    bwd_dense_sample / bwd_value_dtype: round-5 backward-sort reductions,
+    see ``_gather_wsum_ml``.  Defaults reproduce the round-4 path exactly.
+
     Returns:
       feats [L*C, M]: per-level features, hex-averaged, erf-weighted.
       wmeans [L, M]: per-level mean erf weight over hex points (used by the
@@ -451,8 +607,10 @@ def encode_hex_cm(x01, stds, table, spec: HashGridSpec, grid_sizes=None,
     # All L*8 gathers batch into ONE _gather_rows call so the backward runs
     # ONE sort + ONE Pallas scatter over the flat table (level offsets are
     # baked into the indices) instead of L*8 separate scatters.
+    nd = spec.dense_prefix if bwd_dense_sample else 0
     gidx_parts = []
     w_parts = []
+    frac_parts = []
     erf_levels = []
     for level in range(spec.num_levels):
         scale = np.float32(spec.cuda_scales[level])
@@ -460,6 +618,13 @@ def encode_hex_cm(x01, stds, table, spec: HashGridSpec, grid_sizes=None,
         pos_floor = jnp.floor(pos)
         frac = pos - jax.lax.stop_gradient(pos_floor)
         pg = pos_floor.astype(jnp.uint32)  # [3, H, M]
+        if level < nd:
+            # Backward payload for the sample-granularity scatter: (fx, fy,
+            # fz, 0) so bf16 pairs pack evenly.  Stop-gradient: w_parts
+            # carries the real weight gradient.
+            frac_parts.append(jax.lax.stop_gradient(jnp.concatenate(
+                [frac.reshape(3, -1),
+                 jnp.zeros((1, hex_n * m), frac.dtype)], axis=0)))
 
         if stds is not None:
             w_erf = jax.lax.erf(
@@ -484,30 +649,51 @@ def encode_hex_cm(x01, stds, table, spec: HashGridSpec, grid_sizes=None,
                 idx.astype(jnp.int32) + np.int32(spec.offsets[level]))
             w_parts.append(w)
 
-    # One [L, 8*H*M] index array; level l's row holds its 8 corner streams.
-    gidx_lvl = jnp.stack(
-        [jnp.stack(gidx_parts[l * 8:(l + 1) * 8]).reshape(-1)
-         for l in range(spec.num_levels)], axis=0)
-    # Per-level sliced gathers (operand-extent effect, see _gather_rows_ml)
-    # returned as L separate [C, 8*H*M] parts; each is weighted-corner-summed
-    # immediately so the [C, L*8, H, M] monolith never materializes.
-    parts = _gather_rows_ml(spec.offsets, gather_dtype, table, gidx_lvl)
+    if nd > 0 or bwd_value_dtype is not None:
+        # Round-5 fused boundary: gather + corner sum inside one custom_vjp
+        # so the backward can sort dense levels at SAMPLE granularity and
+        # pack hashed-level payloads (see _gather_wsum_ml).
+        hm = hex_n * m
+        gidx_lvl = jnp.stack(
+            [jnp.stack(gidx_parts[l * 8:(l + 1) * 8]).reshape(8, hm)
+             for l in range(spec.num_levels)], axis=0)
+        w_lvl = jnp.stack(
+            [jnp.stack(w_parts[l * 8:(l + 1) * 8]).reshape(8, hm)
+             for l in range(spec.num_levels)], axis=0)
+        frac_lvl = (jnp.stack(frac_parts) if nd
+                    else jnp.zeros((0, 4, hm), x01.dtype))
+        parts = _gather_wsum_ml(
+            spec.offsets, spec.dense_strides[:nd], bwd_value_dtype,
+            gather_dtype, table, gidx_lvl, w_lvl, frac_lvl)
+        acc_levels = [p.reshape(c_dim, hex_n, m) for p in parts]
+    else:
+        # One [L, 8*H*M] index array; level l's row holds its 8 corner
+        # streams.
+        gidx_lvl = jnp.stack(
+            [jnp.stack(gidx_parts[l * 8:(l + 1) * 8]).reshape(-1)
+             for l in range(spec.num_levels)], axis=0)
+        # Per-level sliced gathers (operand-extent effect, see
+        # _gather_rows_ml) returned as L separate [C, 8*H*M] parts; each is
+        # weighted-corner-summed immediately so the [C, L*8, H, M] monolith
+        # never materializes.
+        parts = _gather_rows_ml(spec.offsets, gather_dtype, table, gidx_lvl)
 
-    acc_levels = []
-    for level in range(spec.num_levels):
-        # Named so the remat policy keeps this (the expensive random HBM
-        # gather) instead of recomputing it in the backward pass.
-        # NOTE (measured, round 4): reducing the corner axis in the
-        # gather's natural [lookups, C] layout and transposing the 8x
-        # smaller result looked like it would save the ~24 ms/level [M,4]->
-        # [4,M] transpose fusions seen in the trace — but benched 14%
-        # SLOWER overall (8384 vs 9745 rays/s): the [H, M, C]-major reduce
-        # drags minor-dim-4 (32x lane-padded) layouts into the elementwise
-        # chain and total HBM traffic rises.  Channel-major stays.
-        rows = checkpoint_name(parts[level], "hashgrid_gather").reshape(
-            c_dim, 8, hex_n, m)
-        w_lvl = jnp.stack(w_parts[level * 8:(level + 1) * 8])  # [8, H, M]
-        acc_levels.append(jnp.sum(rows * w_lvl[None], axis=1))  # [C, H, M]
+        acc_levels = []
+        for level in range(spec.num_levels):
+            # Named so the remat policy keeps this (the expensive random HBM
+            # gather) instead of recomputing it in the backward pass.
+            # NOTE (measured, round 4): reducing the corner axis in the
+            # gather's natural [lookups, C] layout and transposing the 8x
+            # smaller result looked like it would save the ~24 ms/level
+            # [M,4]->[4,M] transpose fusions seen in the trace — but benched
+            # 14% SLOWER overall (8384 vs 9745 rays/s): the [H, M, C]-major
+            # reduce drags minor-dim-4 (32x lane-padded) layouts into the
+            # elementwise chain and total HBM traffic rises.  Channel-major
+            # stays.
+            rows = checkpoint_name(parts[level], "hashgrid_gather").reshape(
+                c_dim, 8, hex_n, m)
+            w_lvl = jnp.stack(w_parts[level * 8:(level + 1) * 8])  # [8,H,M]
+            acc_levels.append(jnp.sum(rows * w_lvl[None], axis=1))  # [C,H,M]
 
     feats = []
     wmeans = []
