@@ -32,15 +32,23 @@ from ucnerf_tpu.ops import hashgrid, scatter
 
 
 def timeit(fn, *args, reps=8):
-    out = fn(*args)
-    jax.tree.map(lambda x: x.block_until_ready(), out)
+    """Device-looped timing (the round-3 harness): run `fn` reps times in ONE
+    jitted fori_loop, reduce every output to a scalar accumulator, and time
+    the second dispatch — per-program tunnel dispatch (~0.04-0.1 s) is paid
+    once, not per rep.  `fn` receives (i, *args) and must use i (e.g. via
+    jnp.roll) so the loop body is not hoisted."""
+    def looped(*a):
+        def body(i, c):
+            out = fn(i, *a)
+            leaves = jax.tree.leaves(out)
+            return c + sum(jnp.sum(l[..., ::4097].astype(jnp.float32))
+                           for l in leaves)
+        return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
+    f = jax.jit(looped)
+    np.asarray(f(*args))
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args)
-    jax.tree.map(lambda x: x.block_until_ready(), out)
-    # Host fetch to defeat any tunnel async remnants.
-    jax.tree.map(lambda x: np.asarray(jax.device_get(x.ravel()[0])), out)
-    return (time.perf_counter() - t0) / reps * 1e3
+    np.asarray(f(*args))
+    return (time.perf_counter() - t0 - 0.039) / reps * 1e3
 
 
 def make_streams(spec, samples, rng):
@@ -96,26 +104,26 @@ def main():
     key = jax.random.PRNGKey(0)
 
     # --- A: sort-only costs -------------------------------------------------
-    def sort5(idx2, vals4):
-        ops = (idx2,) + tuple(vals4[c] for c in range(4))
+    def sort5(i, idx2, vals4):
+        ops = ((jnp.roll(idx2, i, 1),)
+               + tuple(vals4[c] for c in range(4)))
         return jax.lax.sort(ops, dimension=1, num_keys=1)[0]
 
-    def sort3_packed(idx2, packed):
-        ops = (idx2,) + tuple(packed[c] for c in range(2))
+    def sort3_packed(i, idx2, packed):
+        ops = ((jnp.roll(idx2, i, 1),) + tuple(packed[c] for c in range(2)))
         return jax.lax.sort(ops, dimension=1, num_keys=1)[0]
 
-    def sort7_dense(idx2, vals4, packed2):
-        ops = ((idx2,) + tuple(vals4[c] for c in range(4))
+    def sort7_dense(i, idx2, vals4, packed2):
+        ops = ((jnp.roll(idx2, i, 1),)
+               + tuple(vals4[c] for c in range(4))
                + tuple(packed2[c] for c in range(2)))
         return jax.lax.sort(ops, dimension=1, num_keys=1)[0]
 
     idx2 = idx_all.reshape(nl, m)
     vals4 = vals.reshape(4, nl, m)
     packed = scatter.pack_bf16_pairs(vals).reshape(2, nl, m)
-    j5 = jax.jit(sort5)
-    j3 = jax.jit(sort3_packed)
-    t5 = timeit(j5, idx2, vals4, reps=args.reps)
-    t3 = timeit(j3, idx2, packed, reps=args.reps)
+    t5 = timeit(sort5, idx2, vals4, reps=args.reps)
+    t3 = timeit(sort3_packed, idx2, packed, reps=args.reps)
     print(f"A. sort 5-array f32   [{nl}, {m}]: {t5:8.2f} ms")
     print(f"A. sort 3-array pack  [{nl}, {m}]: {t3:8.2f} ms "
           f"({t3 / t5:.2f}x)")
@@ -126,11 +134,10 @@ def main():
     g_d = jnp.asarray(rng.normal(0, 1, (4, nd, s)).astype(np.float32))
     fr_d = scatter.pack_bf16_pairs(
         jnp.concatenate(fracs[:nd], axis=1)).reshape(2, nd, s)
-    j7 = jax.jit(sort7_dense)
-    t7 = timeit(j7, base_d, g_d, fr_d, reps=args.reps)
+    t7 = timeit(sort7_dense, base_d, g_d, fr_d, reps=args.reps)
     idx_h = idx2[nd:]
-    t5h = timeit(j5, idx_h, vals4[:, nd:], reps=args.reps)
-    t3h = timeit(j3, idx_h, packed[:, nd:], reps=args.reps)
+    t5h = timeit(sort5, idx_h, vals4[:, nd:], reps=args.reps)
+    t3h = timeit(sort3_packed, idx_h, packed[:, nd:], reps=args.reps)
     print(f"A. dense 7-array      [{nd}, {s}]: {t7:8.2f} ms "
           f"(replaces {nd}/{nl} of the 5-array sort)")
     print(f"A. hashed 5-array     [{nh}, {m}]: {t5h:8.2f} ms")
@@ -139,13 +146,15 @@ def main():
           f"({(t7 + t3h) / t5:.2f}x)")
 
     # --- B: end-to-end backward (sort + kernel) ----------------------------
-    f_old = jax.jit(lambda v, i: scatter.scatter_add_cm(
-        v, i, rows, sort_segments=nl))
+    def f_old(i, v, ix):
+        return scatter.scatter_add_cm(jnp.roll(v, i, 1), ix, rows,
+                                      sort_segments=nl)
     t_old = timeit(f_old, vals, idx_all, reps=args.reps)
     print(f"B. scatter_add_cm (prod, {nl}-seg 5-array): {t_old:8.2f} ms")
 
-    f_packed = jax.jit(lambda v, i: scatter.scatter_add_packed_cm(
-        v, i, rows, sort_segments=nl))
+    def f_packed(i, v, ix):
+        return scatter.scatter_add_packed_cm(jnp.roll(v, i, 1), ix, rows,
+                                             sort_segments=nl)
     t_packed = timeit(f_packed, vals, idx_all, reps=args.reps)
     print(f"B. scatter_add_packed_cm (all levels):      {t_packed:8.2f} ms")
 
@@ -156,31 +165,29 @@ def main():
     idx_hashed = idx2[nd:].reshape(-1) - np.int32(dense_rows)
     vals_hashed = vals4[:, nd:].reshape(4, -1)
 
-    def split_bwd(gd, fd, bd, vh, ih):
+    def split_bwd(i, gd, fd, bd, vh, ih):
         a = scatter.scatter_add_dense_cm(
-            gd, fd, bd, dense_rows, level_len=s,
+            jnp.roll(gd, i, 1), fd, bd, dense_rows, level_len=s,
             strides=spec.dense_strides)
         b = scatter.scatter_add_packed_cm(
-            vh, ih, rows - dense_rows, sort_segments=nh)
+            jnp.roll(vh, i, 1), ih, rows - dense_rows, sort_segments=nh)
         return jnp.concatenate([a, b], axis=1)
 
-    f_split = jax.jit(split_bwd)
-    t_split = timeit(f_split, g_dense, fr_dense, base_dense, vals_hashed,
+    t_split = timeit(split_bwd, g_dense, fr_dense, base_dense, vals_hashed,
                      idx_hashed, reps=args.reps)
     print(f"B. dense-sample + packed split:             {t_split:8.2f} ms "
           f"({t_split / t_old:.2f}x of production)")
 
-    def split_bwd_f32(gd, fd, bd, vh, ih):
+    def split_bwd_f32(i, gd, fd, bd, vh, ih):
         a = scatter.scatter_add_dense_cm(
-            gd, fd, bd, dense_rows, level_len=s,
+            jnp.roll(gd, i, 1), fd, bd, dense_rows, level_len=s,
             strides=spec.dense_strides)
         b = scatter.scatter_add_cm(
-            vh, ih, rows - dense_rows, sort_segments=nh)
+            jnp.roll(vh, i, 1), ih, rows - dense_rows, sort_segments=nh)
         return jnp.concatenate([a, b], axis=1)
 
-    f_split32 = jax.jit(split_bwd_f32)
-    t_split32 = timeit(f_split32, g_dense, fr_dense, base_dense, vals_hashed,
-                       idx_hashed, reps=args.reps)
+    t_split32 = timeit(split_bwd_f32, g_dense, fr_dense, base_dense,
+                       vals_hashed, idx_hashed, reps=args.reps)
     print(f"B. dense-sample + f32-hashed split:         {t_split32:8.2f} ms")
     del key
 
