@@ -95,7 +95,7 @@ def _measure_render(cfg, chunks, warmup):
     # Median of 3 timed repeats: single-window render timings on the
     # tunneled chip swing up to +/-1.5x (PERF_NOTES round 3) from host-side
     # dispatch hiccups, so one block mis-states the round.  Each repeat
-    # times ceil(chunks/2) renders; the median is reported.
+    # times max(4, chunks // 2) renders; the median is reported.
     per_repeat = max(4, chunks // 2)
     rates = []
     for _ in range(3):
@@ -115,7 +115,9 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch-size", type=int, default=15000)
     parser.add_argument("--steps", type=int, default=20)
-    parser.add_argument("--chunks", type=int, default=20)
+    parser.add_argument("--chunks", type=int, default=20,
+                        help="render chunk budget; each timed repeat renders "
+                             "max(4, chunks // 2) chunks (floor, min 4)")
     parser.add_argument("--warmup", type=int, default=3)
     parser.add_argument("--binding", "-b", action="append", default=[],
                         help="config override, e.g. 'Config.microbatches=4'")

@@ -35,17 +35,26 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _ensure_devices(n: int):
+    import re
     flags = os.environ.get("XLA_FLAGS", "")
-    if "xla_force_host_platform_device_count" not in flags:
+    m = re.search(r"--xla_force_host_platform_device_count=(\d+)", flags)
+    if m is None:
         os.environ["XLA_FLAGS"] = (
             flags + f" --xla_force_host_platform_device_count={n}").strip()
+    elif int(m.group(1)) < n:
+        # Override an existing smaller value (ADVICE r4: relying on
+        # clear_backends() to re-read a stale flag is not guaranteed).
+        os.environ["XLA_FLAGS"] = flags.replace(
+            m.group(0), f"--xla_force_host_platform_device_count={n}")
     import jax
     if len(jax.devices()) < n:
         from jax.extend.backend import clear_backends
         clear_backends()
         jax.config.update("jax_platforms", "cpu")
     assert len(jax.devices()) >= n, (
-        f"need {n} devices, have {len(jax.devices())}")
+        f"need {n} devices, have {len(jax.devices())}; if a jax backend was "
+        f"already initialized elsewhere, set XLA_FLAGS="
+        f"--xla_force_host_platform_device_count={n} before launching")
 
 
 def measure(n_devices: int, per_device_batch: int, steps: int,
@@ -62,6 +71,18 @@ def measure(n_devices: int, per_device_batch: int, steps: int,
     make = getattr(configs, preset)
     cfg = configs.parse_bindings(
         make(batch_size=per_device_batch * n_devices), bindings)
+    # The gradient-accumulation reshape needs batch % microbatches == 0
+    # (train/step.py); the presets' microbatch counts assume batch 15000, so
+    # adjust to the largest compatible divisor for this sweep's batch
+    # (ADVICE r4: the default --per-device-batch crashed preset waymo).
+    if cfg.microbatches > 1 and cfg.batch_size % cfg.microbatches:
+        import dataclasses
+        mb = next(d for d in range(min(cfg.microbatches, cfg.batch_size),
+                                   0, -1) if cfg.batch_size % d == 0)
+        print(f"  [mesh={n_devices}] microbatches {cfg.microbatches} does "
+              f"not divide batch {cfg.batch_size}; using {mb}",
+              file=sys.stderr)
+        cfg = dataclasses.replace(cfg, microbatches=mb)
     mesh = meshlib.create_mesh(jax.devices()[:n_devices])
 
     model, params = step_lib.init_model(cfg, jax.random.PRNGKey(0))

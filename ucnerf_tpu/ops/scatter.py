@@ -151,17 +151,16 @@ def scatter_add_cm(values, idx, num_rows: int, *, tile_rows: int = 4096,
     num_tiles = rows_pad // tile_rows
 
     # 1) Sort by row index, channels as payloads (single fused bitonic sort;
-    # optionally segmented, see sort_segments).
+    # optionally segmented, see sort_segments).  Equal-length segments batch
+    # into ONE lax.sort over the [S, M/S] view (round 5; the per-segment
+    # python loop of sorts was measurably slower on v5e).
     if sort_segments > 1 and m % sort_segments == 0 and m > 0:
         seg = m // sort_segments
-        parts = []
-        for s in range(sort_segments):
-            sl = slice(s * seg, (s + 1) * seg)
-            parts.append(jax.lax.sort(
-                (idx[sl],) + tuple(values[:, sl]), dimension=0, num_keys=1))
-        sidx = jnp.concatenate([p[0] for p in parts])
-        svals = jnp.concatenate(
-            [jnp.stack(p[1:], axis=0) for p in parts], axis=1)
+        ops = ((idx.reshape(sort_segments, seg),)
+               + tuple(v.reshape(sort_segments, seg) for v in values))
+        sorted_ops = jax.lax.sort(ops, dimension=1, num_keys=1)
+        sidx = sorted_ops[0].reshape(-1)
+        svals = jnp.stack([o.reshape(-1) for o in sorted_ops[1:]], axis=0)
     else:
         sorted_all = jax.lax.sort((idx,) + tuple(values), dimension=0,
                                   num_keys=1)
