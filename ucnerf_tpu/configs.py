@@ -280,8 +280,14 @@ def waymo(**overrides) -> Config:
         microbatches=10,
         model=ModelConfig(num_levels=2, num_prop_samples=128,
                           num_nerf_samples=32),
-        nerf_mlp=MLPConfig(disable_density_normals=True),
-        prop_mlp=MLPConfig(disable_rgb=True, disable_density_normals=True),
+        # Round-5 backward: dense-prefix levels sort at SAMPLE granularity
+        # (1/8 the stream; precision unchanged up to bf16 frac rounding).
+        # Measured: flagship 10089 -> 12013 rays/s, exact 1589 -> 2073
+        # (BENCH/PERF_NOTES round 5).
+        nerf_mlp=MLPConfig(disable_density_normals=True,
+                           grid_bwd_dense_sample=True),
+        prop_mlp=MLPConfig(disable_rgb=True, disable_density_normals=True,
+                           grid_bwd_dense_sample=True),
     )
     return dataclasses.replace(base, **overrides)
 
@@ -309,9 +315,11 @@ def waymo_tpu(**overrides) -> Config:
         microbatches=15,
         host_microbatches=False,
         nerf_mlp=MLPConfig(disable_density_normals=True,
-                           hex_single_query=True),
+                           hex_single_query=True,
+                           grid_bwd_dense_sample=True),
         prop_mlp=MLPConfig(disable_rgb=True, disable_density_normals=True,
-                           hex_single_query=True),
+                           hex_single_query=True,
+                           grid_bwd_dense_sample=True),
     )
     return dataclasses.replace(base, **overrides)
 

@@ -151,16 +151,21 @@ def scatter_add_cm(values, idx, num_rows: int, *, tile_rows: int = 4096,
     num_tiles = rows_pad // tile_rows
 
     # 1) Sort by row index, channels as payloads (single fused bitonic sort;
-    # optionally segmented, see sort_segments).  Equal-length segments batch
-    # into ONE lax.sort over the [S, M/S] view (round 5; the per-segment
-    # python loop of sorts was measurably slower on v5e).
+    # optionally segmented, see sort_segments).  NOTE (clean same-session
+    # A/B, round 5): batching the equal-length segments into ONE lax.sort
+    # over the [S, M/S] view regresses the flagship train step 12015 ->
+    # 7657 rays/s on v5e — the multi-row batched sort lowers far worse than
+    # a loop of flat sorts at [6, 1M]-scale operands.  Loop stays.
     if sort_segments > 1 and m % sort_segments == 0 and m > 0:
         seg = m // sort_segments
-        ops = ((idx.reshape(sort_segments, seg),)
-               + tuple(v.reshape(sort_segments, seg) for v in values))
-        sorted_ops = jax.lax.sort(ops, dimension=1, num_keys=1)
-        sidx = sorted_ops[0].reshape(-1)
-        svals = jnp.stack([o.reshape(-1) for o in sorted_ops[1:]], axis=0)
+        parts = []
+        for s in range(sort_segments):
+            sl = slice(s * seg, (s + 1) * seg)
+            parts.append(jax.lax.sort(
+                (idx[sl],) + tuple(values[:, sl]), dimension=0, num_keys=1))
+        sidx = jnp.concatenate([p[0] for p in parts])
+        svals = jnp.concatenate(
+            [jnp.stack(p[1:], axis=0) for p in parts], axis=1)
     else:
         sorted_all = jax.lax.sort((idx,) + tuple(values), dimension=0,
                                   num_keys=1)
@@ -403,12 +408,17 @@ def scatter_add_packed_cm(values, idx, num_rows: int, *,
     packed = pack_bf16_pairs(values)                      # [C//2, M]
 
     if sort_segments > 1 and m % sort_segments == 0 and m > 0:
+        # Loop of flat per-segment sorts — a batched [S, M/S] sort lowers
+        # pathologically on v5e (see the note in scatter_add_cm).
         seg = m // sort_segments
-        ops = ((idx.reshape(sort_segments, seg),)
-               + tuple(p.reshape(sort_segments, seg) for p in packed))
-        sorted_ops = jax.lax.sort(ops, dimension=1, num_keys=1)
-        sidx = sorted_ops[0].reshape(-1)
-        svals = jnp.stack([o.reshape(-1) for o in sorted_ops[1:]], axis=0)
+        parts = []
+        for s in range(sort_segments):
+            sl = slice(s * seg, (s + 1) * seg)
+            parts.append(jax.lax.sort(
+                (idx[sl],) + tuple(packed[:, sl]), dimension=0, num_keys=1))
+        sidx = jnp.concatenate([p[0] for p in parts])
+        svals = jnp.concatenate(
+            [jnp.stack(p[1:], axis=0) for p in parts], axis=1)
     else:
         sorted_all = jax.lax.sort((idx,) + tuple(packed), dimension=0,
                                   num_keys=1)
@@ -619,11 +629,19 @@ def scatter_add_dense_cm(gvals, fracs, base_idx, num_rows: int, *,
     spans = [s * s + s + 1 for s in strides]
     fr_packed = pack_bf16_pairs(fracs)                    # [2, M]
 
-    # 1) Batched per-level sort (one lax.sort over the [L, level_len] view).
-    ops = ((base_idx.reshape(n_levels, level_len),)
-           + tuple(gvals[ch].reshape(n_levels, level_len) for ch in range(c))
-           + tuple(p.reshape(n_levels, level_len) for p in fr_packed))
-    sorted_ops = jax.lax.sort(ops, dimension=1, num_keys=1)
+    # 1) Per-level sorts (loop of flat lax.sorts, stacked).  A single
+    # batched sort over the [L, level_len] view lowers pathologically on
+    # v5e (the same effect measured 12015 -> 7657 rays/s when tried in
+    # scatter_add_cm); the flat-sort loop is the fast form.
+    parts = []
+    for l in range(n_levels):
+        sl = slice(l * level_len, (l + 1) * level_len)
+        parts.append(jax.lax.sort(
+            (base_idx[sl],) + tuple(gvals[ch, sl] for ch in range(c))
+            + tuple(fr_packed[:, sl]), dimension=0, num_keys=1))
+    sorted_ops = tuple(
+        jnp.stack([p[k] for p in parts], axis=0)
+        for k in range(1 + c + 2))
 
     # 2) Pad each level to whole blocks.  Padding must keep the concatenated
     # stream globally sorted, so the sentinel is a REAL row (the level's last
