@@ -232,6 +232,22 @@ def make_eval_step(model: UCNeRFModel, config: Config, mesh=None,
     (cli/eval._eval_camidx), and a static camidx forced one full XLA
     recompile per test image (~minutes each on the canonical architecture).
     """
+    # Eval never differentiates, so the grid BACKWARD knobs only change the
+    # forward graph's shape — and the round-5 fused gather+wsum boundary's
+    # primal renders ~14% slower than the plain per-level path (17510 vs
+    # 15019 rays/s flagship, measured).  Rebuild the model with the knobs
+    # off: the parameter tree and forward values are identical.
+    mlpcfgs = (config.nerf_mlp, config.prop_mlp)
+    if any(c.grid_bwd_dense_sample or c.grid_bwd_value_dtype
+           for c in mlpcfgs):
+        import dataclasses
+        off = dict(grid_bwd_dense_sample=False, grid_bwd_value_dtype=None)
+        config = dataclasses.replace(
+            config,
+            nerf_mlp=dataclasses.replace(config.nerf_mlp, **off),
+            prop_mlp=dataclasses.replace(config.prop_mlp, **off))
+        model = UCNeRFModel(config)
+
     def eval_one(params, batch, train_frac, eval_camidx):
         renderings, ray_history = model.apply(
             {"params": params}, None, batch, train_frac,
