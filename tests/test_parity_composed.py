@@ -97,10 +97,11 @@ class MockGridEncoder(torch.nn.Module):
 
 
 def mock_encode_hex_cm(x01, stds, table, spec, grid_sizes=None,
-                       accum_dtype=jnp.float32, gather_dtype=None):
+                       accum_dtype=jnp.float32, gather_dtype=None,
+                       bwd_dense_sample=False, bwd_value_dtype=None):
     """jax twin of MockGridEncoder composed with the erf weighting + hex mean
     exactly as ops/hashgrid.encode_hex_cm contracts (models.py:494-496)."""
-    del table, accum_dtype, gather_dtype
+    del table, accum_dtype, gather_dtype, bwd_dense_sample, bwd_value_dtype
     if grid_sizes is None:
         grid_sizes = np.asarray(spec.resolutions, np.float32)
     t = _mock_tables(spec.num_levels, spec.level_dim)
