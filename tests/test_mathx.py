@@ -68,3 +68,24 @@ def test_safe_trig_large_args():
     assert np.all(np.isfinite(mathx.safe_sin(x)))
     assert np.all(np.isfinite(mathx.safe_cos(x)))
     np.testing.assert_allclose(mathx.safe_sin(x)[2], np.sin(1.0), rtol=1e-6)
+
+
+def test_take_along_last_exact_and_grad(rng):
+    """One-hot MXU selection is bit-exact vs take_along_axis, incl. grads."""
+    import jax
+    import jax.numpy as jnp
+    from ucnerf_tpu.ops import mathx
+
+    y = jnp.asarray(rng.standard_normal((7, 33)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, 33, size=(7, 50)), jnp.int32)
+    got = mathx.take_along_last(y, idx)
+    want = jnp.take_along_axis(y, idx, axis=-1)
+    assert got.dtype == want.dtype and got.shape == want.shape
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    # Gradient w.r.t. y (a transpose-matmul scatter) matches exactly too.
+    ct = jnp.asarray(rng.standard_normal((7, 50)), jnp.float32)
+    g_got = jax.grad(lambda a: jnp.sum(mathx.take_along_last(a, idx) * ct))(y)
+    g_want = jax.grad(
+        lambda a: jnp.sum(jnp.take_along_axis(a, idx, axis=-1) * ct))(y)
+    np.testing.assert_array_equal(np.asarray(g_got), np.asarray(g_want))

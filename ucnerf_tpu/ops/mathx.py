@@ -75,6 +75,29 @@ def learning_rate_decay(step, lr_init, lr_final, max_steps, lr_delay_steps=0,
     return delay_rate * log_lerp(step / max_steps, lr_init, lr_final)
 
 
+def take_along_last(y, idx):
+    """Exact ``jnp.take_along_axis(y, idx, axis=-1)`` as a one-hot MXU
+    contraction, for SMALL trailing dims (stepfun histograms, N <~ 256).
+
+    Rationale (PERF_NOTES round 5): XLA lowers trailing-axis
+    ``take_along_axis`` on v5e to a kCustom gather fusion that runs at
+    ~2 GB/s — the three such gathers in the anti-interlevel loss chain
+    (``sorted_interp_quad``, ``blur_stepfun``) cost 49 ms of a 1.2 s
+    flagship step.  A one-hot ``(idx == iota)`` matrix contracted against
+    ``y`` is mathematically EXACT selection (products are y*1 and y*0, both
+    exact in f32; HIGHEST precision forbids bf16 demotion) and maps onto the
+    MXU; its transpose (the gradient w.r.t. ``y``) is likewise a matmul
+    instead of a scatter-add.
+
+    y: [..., N], idx: int[..., M] (values in [0, N)) -> [..., M].
+    """
+    n = y.shape[-1]
+    onehot = (idx[..., :, None] == jnp.arange(n, dtype=idx.dtype)).astype(
+        y.dtype)
+    return jnp.einsum("...mn,...n->...m", onehot, y,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
 def _masked_extrema(mask, y, axis=-2):
     """Given mask[..., M, N] over sorted y[..., M], return (y0, y1) where y0 is
     y at the last True row and y1 is y at the first False row, clamped to the
@@ -114,8 +137,8 @@ def sorted_interp_quad(x, xp, fpdf, fcdf):
     fcdf0 = jnp.max(big, axis=-2)
     idx0 = jnp.argmax(big, axis=-2)
     idx1 = jnp.argmin(small, axis=-2)
-    fpdf0 = jnp.take_along_axis(fpdf, idx0, axis=-1)
-    fpdf1 = jnp.take_along_axis(fpdf, idx1, axis=-1)
+    fpdf0 = take_along_last(fpdf, idx0)
+    fpdf1 = take_along_last(fpdf, idx1)
     xp0, xp1 = _masked_extrema(mask, xp)
     offset = jnp.clip(jnp.nan_to_num((x - xp0) / (xp1 - xp0), nan=0.0), 0, 1)
     # Trapezoid rule on the linear PDF between xp0 and x.

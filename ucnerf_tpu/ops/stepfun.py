@@ -40,7 +40,7 @@ def searchsorted(a, v):
 def query(tq, t, y, outside_value=0):
     """Look up the values of the step function (t, y) at locations tq."""
     idx_lo, idx_hi = searchsorted(t, tq)
-    yq = jnp.take_along_axis(y, jnp.minimum(idx_lo, y.shape[-1] - 1), axis=-1)
+    yq = mathx.take_along_last(y, jnp.minimum(idx_lo, y.shape[-1] - 1))
     return jnp.where(idx_lo == idx_hi, outside_value, yq)
 
 
@@ -49,8 +49,8 @@ def inner_outer(t0, t1, y1):
     cy1 = jnp.concatenate(
         [jnp.zeros_like(y1[..., :1]), jnp.cumsum(y1, axis=-1)], axis=-1)
     idx_lo, idx_hi = searchsorted(t1, t0)
-    cy1_lo = jnp.take_along_axis(cy1, idx_lo, axis=-1)
-    cy1_hi = jnp.take_along_axis(cy1, idx_hi, axis=-1)
+    cy1_lo = mathx.take_along_last(cy1, idx_lo)
+    cy1_hi = mathx.take_along_last(cy1, idx_hi)
     y0_outer = cy1_hi[..., 1:] - cy1_lo[..., :-1]
     y0_inner = jnp.where(idx_hi[..., :-1] <= idx_lo[..., 1:],
                          cy1_lo[..., 1:] - cy1_hi[..., :-1], 0.0)
@@ -209,8 +209,8 @@ def blur_stepfun(x, y, r):
     # Derivative impulses of the box-filtered function at each original knot.
     y1 = (jnp.concatenate([y, jnp.zeros_like(y[..., :1])], axis=-1) -
           jnp.concatenate([jnp.zeros_like(y[..., :1]), y], axis=-1)) / (2 * r)
-    y2 = jnp.take_along_axis(
-        jnp.concatenate([y1, -y1], axis=-1), xr_idx[..., :-1], axis=-1)
+    y2 = mathx.take_along_last(
+        jnp.concatenate([y1, -y1], axis=-1), xr_idx[..., :-1])
     yr = jnp.maximum(
         jnp.cumsum((xr[..., 1:] - xr[..., :-1]) * jnp.cumsum(y2, axis=-1),
                    axis=-1), 0.0)
