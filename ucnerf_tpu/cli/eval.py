@@ -49,12 +49,16 @@ def main(argv=None):
 
     last_step = -1
     while True:
-        state_restored, step = ckpt_lib.restore_checkpoint(exp, state)
+        # Cheap poll first: a full restore deserializes the whole state
+        # (~350 MB at the canonical architecture) and would hammer the host
+        # and device transfer path every poll tick in follower mode.
+        step = ckpt_lib.latest_checkpoint_step(exp) or 0
         if step == last_step:
             if config.eval_only_once:
                 break
             time.sleep(10)
             continue
+        state_restored, step = ckpt_lib.restore_checkpoint(exp, state)
         last_step = step
         params_eval = state_restored.params
         logger.info("evaluating checkpoint step %d", step)
