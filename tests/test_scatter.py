@@ -378,3 +378,46 @@ def test_encode_hex_cm_fused_bwd_matches_reference_path(value_dtype, dense):
     tol = 2e-2 if value_dtype == "bfloat16" else 1e-2
     np.testing.assert_allclose(np.asarray(gt_new), np.asarray(gt_ref),
                                atol=tol * max(scale, 1e-3), rtol=tol)
+
+def test_scatter_tile_offset_region_matches_full():
+    """tile_offset mode: the gridded region matches the full-output kernel;
+    rows below tile_offset*tile_rows are undefined and excluded."""
+    rng = np.random.default_rng(21)
+    c, m, tile = 4, 4000, 1024
+    rows = 10 * tile + 300          # unaligned total -> padded last tile
+    lo = 3 * tile                   # region start (tile_offset = 3)
+    idx = rng.integers(lo, rows, m).astype(np.int32)
+    vals = rng.normal(size=(c, m)).astype(np.float32)
+    got = scatter.scatter_add_cm(jnp.asarray(vals), jnp.asarray(idx), rows,
+                                 tile_rows=tile, tile_offset=3,
+                                 interpret=True)
+    assert got.shape == (c, rows)
+    want = _oracle(vals, idx, rows)
+    np.testing.assert_allclose(np.asarray(got)[:, lo:], want[:, lo:],
+                               atol=5e-5, rtol=5e-5)
+
+
+def test_scatter_tile_offset_patch_assembly():
+    """The fused-buffer grad assembly recipe (ops/hashgrid.py backward):
+    hashed scatter at a tile offset into the full-size buffer + an in-place
+    update-slice patch of the dense prefix == oracle over the whole table,
+    with an UNALIGNED dense/hashed split inside a straddle tile."""
+    rng = np.random.default_rng(22)
+    c, tile = 4, 512
+    dense_rows = 3 * tile + 100     # split mid-tile: tile 3 is straddled
+    total = 9 * tile + 50
+    m_d, m_h = 1500, 3000
+    idx_d = rng.integers(0, dense_rows, m_d).astype(np.int32)
+    idx_h = rng.integers(dense_rows, total, m_h).astype(np.int32)
+    vals_d = rng.normal(size=(c, m_d)).astype(np.float32)
+    vals_h = rng.normal(size=(c, m_h)).astype(np.float32)
+    buf = scatter.scatter_add_cm(
+        jnp.asarray(vals_h), jnp.asarray(idx_h), total, tile_rows=tile,
+        tile_offset=dense_rows // tile, interpret=True)
+    dense = scatter.scatter_add_cm(
+        jnp.asarray(vals_d), jnp.asarray(idx_d), dense_rows, tile_rows=tile,
+        interpret=True)
+    got = jax.lax.dynamic_update_slice(buf, dense, (0, 0))
+    want = _oracle(np.concatenate([vals_d, vals_h], axis=1),
+                   np.concatenate([idx_d, idx_h]), total)
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-5, rtol=5e-5)

@@ -288,6 +288,35 @@ def _gather_wsum_ml_bwd(level_offsets, dense_strides, value_dtype,
 
     interp = SCATTER_IMPL == "pallas_interpret"
     dense_rows = int(level_offsets[nd])
+    total_rows = int(level_offsets[-1])
+    if nd and nd < num_levels and value_dtype != "bfloat16":
+        # Fused-buffer assembly (PERF_NOTES round 5): the hashed-level
+        # scatter writes its tiles of the FULL-table buffer directly (rows
+        # below its first tile come back garbage), and the small dense
+        # prefix — ~2% of the rows — is patched over [0, dense_rows) with
+        # an in-place static update-slice.  The straddle tile's hashed
+        # columns (>= dense_rows) are written by the hashed kernel and
+        # survive the patch, so the split needs no tile alignment.  This
+        # removes the [C, total] grad concat epilogue (fusion.1647/.1672,
+        # ~47 ms/step at flagship scale).
+        vals = jnp.concatenate(
+            [(w_lvl[l][None] * gs[l][:, None].astype(jnp.float32))
+             .reshape(c, -1) for l in range(nd, num_levels)], axis=1)
+        tile_rows = 4096
+        buf = scatter.scatter_add_cm(
+            vals, gidx_lvl[nd:].reshape(-1), total_rows,
+            tile_rows=tile_rows, tile_offset=dense_rows // tile_rows,
+            sort_segments=num_levels - nd, interpret=interp)
+        g_d = jnp.concatenate(
+            [gs[l].astype(jnp.float32) for l in range(nd)], axis=1)
+        fr = jnp.concatenate([frac_lvl[l] for l in range(nd)], axis=1)
+        base = gidx_lvl[:nd, 0].reshape(-1)
+        dense_part = scatter.scatter_add_dense_cm(
+            g_d, fr, base, dense_rows, level_len=s, strides=dense_strides,
+            interpret=interp)
+        dtable = jax.lax.dynamic_update_slice(buf, dense_part, (0, 0))
+        return (dtable, np.zeros(gidx_lvl.shape, jax.dtypes.float0), d_w,
+                jnp.zeros_like(frac_lvl))
     parts = []
     if nd:
         g_d = jnp.concatenate(
@@ -302,7 +331,7 @@ def _gather_wsum_ml_bwd(level_offsets, dense_strides, value_dtype,
             [(w_lvl[l][None] * gs[l][:, None].astype(jnp.float32))
              .reshape(c, -1) for l in range(nd, num_levels)], axis=1)
         idx = gidx_lvl[nd:].reshape(-1) - jnp.int32(dense_rows)
-        hashed_rows = int(level_offsets[-1]) - dense_rows
+        hashed_rows = total_rows - dense_rows
         if value_dtype == "bfloat16":
             parts.append(scatter.scatter_add_packed_cm(
                 vals, idx, hashed_rows, sort_segments=num_levels - nd,

@@ -51,14 +51,15 @@ def _round_up(x: int, m: int) -> int:
 
 def _scatter_kernel(blk_lo_ref, nblk_ref, sidx_ref, sval_ref, out_ref,
                     idx_buf, val_buf, acc, idx_sem, val_sem,
-                    *, block_k: int, tile_rows: int, channels: int):
+                    *, block_k: int, tile_rows: int, channels: int,
+                    tile_offset: int = 0):
     """One table tile: stream sorted-update blocks, factored one-hot MXU."""
     t = pl.program_id(0)
     r_hi = tile_rows // _LANE
     acc[...] = jnp.zeros_like(acc)
     lo_blk = blk_lo_ref[t]
     n = nblk_ref[t]
-    row0 = t * tile_rows
+    row0 = (t + tile_offset) * tile_rows
 
     def get_dmas(slot, b):
         start = (lo_blk + b) * block_k
@@ -122,10 +123,10 @@ def _scatter_kernel(blk_lo_ref, nblk_ref, sidx_ref, sval_ref, out_ref,
 
 @functools.partial(jax.jit, static_argnames=("num_rows", "tile_rows",
                                              "block_k", "interpret",
-                                             "sort_segments"))
+                                             "sort_segments", "tile_offset"))
 def scatter_add_cm(values, idx, num_rows: int, *, tile_rows: int = 4096,
                    block_k: int = 1024, interpret: bool = False,
-                   sort_segments: int = 1):
+                   sort_segments: int = 1, tile_offset: int = 0):
     """Deterministic scatter-add: out[:, idx[m]] += values[:, m].
 
     Args:
@@ -141,14 +142,24 @@ def scatter_add_cm(values, idx, num_rows: int, *, tile_rows: int = 4096,
         of a packed hash table, where level row offsets are increasing) —
         the concatenation of per-segment sorted streams is then globally
         sorted, and S smaller bitonic sorts beat one big one (~2x measured).
+      tile_offset: skip the first ``tile_offset`` output tiles: the kernel
+        grids only over tiles [tile_offset, ceil(num_rows/tile_rows)), so
+        rows below ``tile_offset * tile_rows`` come back UNDEFINED (garbage)
+        and every index must be >= that bound.  Used by the fused-buffer
+        grad assembly (ops/hashgrid.py): the hashed-level scatter writes its
+        region of the full-table buffer directly and the caller patches the
+        small dense prefix in-place, eliminating the [C, total] concat
+        epilogue (~47 ms/step at flagship scale, PERF_NOTES round 5).
 
     Returns:
-      [C, num_rows] float32.
+      [C, num_rows] float32 (columns below tile_offset*tile_rows undefined
+      when tile_offset > 0).
     """
     c, m = values.shape
     assert tile_rows % _LANE == 0
     rows_pad = _round_up(num_rows, tile_rows)
     num_tiles = rows_pad // tile_rows
+    assert 0 <= tile_offset < num_tiles
 
     # 1) Sort by row index, channels as payloads (single fused bitonic sort;
     # optionally segmented, see sort_segments).  NOTE (clean same-session
@@ -178,8 +189,11 @@ def scatter_add_cm(values, idx, num_rows: int, *, tile_rows: int = 4096,
     svals = jnp.concatenate(
         [svals, jnp.zeros((c, m_pad - m), svals.dtype)], axis=1)
 
-    # 3) Tile boundaries in the sorted stream -> per-tile block ranges.
-    bounds = jnp.arange(num_tiles + 1, dtype=jnp.int32) * tile_rows
+    # 3) Tile boundaries in the sorted stream -> per-tile block ranges
+    # (tiles below tile_offset are never gridded; their rows hold no keys).
+    grid_tiles = num_tiles - tile_offset
+    bounds = (jnp.arange(grid_tiles + 1, dtype=jnp.int32)
+              + tile_offset) * tile_rows
     starts = jnp.searchsorted(sidx, bounds, side="left").astype(jnp.int32)
     blk_lo = starts[:-1] // block_k
     has_any = starts[1:] > starts[:-1]
@@ -188,13 +202,14 @@ def scatter_add_cm(values, idx, num_rows: int, *, tile_rows: int = 4096,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(num_tiles,),
+        grid=(grid_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (c, tile_rows), lambda t, *_: (0, t), memory_space=pltpu.VMEM),
+            (c, tile_rows), lambda t, *_: (0, t + tile_offset),
+            memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, 1, block_k), jnp.int32),
             pltpu.VMEM((2, c, block_k), jnp.float32),
@@ -205,7 +220,8 @@ def scatter_add_cm(values, idx, num_rows: int, *, tile_rows: int = 4096,
     )
     out = pl.pallas_call(
         functools.partial(_scatter_kernel, block_k=block_k,
-                          tile_rows=tile_rows, channels=c),
+                          tile_rows=tile_rows, channels=c,
+                          tile_offset=tile_offset),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((c, rows_pad), jnp.float32),
         interpret=interpret,
