@@ -421,3 +421,26 @@ def test_scatter_tile_offset_patch_assembly():
     want = _oracle(np.concatenate([vals_d, vals_h], axis=1),
                    np.concatenate([idx_d, idx_h]), total)
     np.testing.assert_allclose(np.asarray(got), want, atol=5e-5, rtol=5e-5)
+
+
+def test_scatter_tile_offset_with_segmented_sort():
+    """tile_offset composed with sort_segments (the production hashed-level
+    call): per-level segments with increasing global row ranges, offset
+    region, sentinel padding above the last tile."""
+    rng = np.random.default_rng(23)
+    c, tile = 4, 512
+    lo = 2 * tile + 37              # region start mid-tile (tile_offset = 2)
+    rows = 8 * tile + 200
+    seg, nseg = 1000, 3
+    # Segment s owns an increasing, disjoint row range above lo.
+    edges = np.linspace(lo, rows, nseg + 1).astype(np.int64)
+    idx = np.concatenate([
+        rng.integers(edges[s], edges[s + 1], seg) for s in range(nseg)
+    ]).astype(np.int32)
+    vals = rng.normal(size=(c, nseg * seg)).astype(np.float32)
+    got = scatter.scatter_add_cm(jnp.asarray(vals), jnp.asarray(idx), rows,
+                                 tile_rows=tile, tile_offset=2,
+                                 sort_segments=nseg, interpret=True)
+    want = _oracle(vals, idx, rows)
+    np.testing.assert_allclose(np.asarray(got)[:, 2 * tile:],
+                               want[:, 2 * tile:], atol=5e-5, rtol=5e-5)
